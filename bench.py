@@ -1,0 +1,110 @@
+"""End-to-end throughput benchmark (the driver runs this on real TPU hardware).
+
+Measures the production pipeline on BASELINE.json's tracked metric:
+undistorted 1080p frames/sec/chip end-to-end — uint8 1080p BGR frames ->
+fused undistort+letterbox remap -> YOLOv8n-seg (bf16) -> DFL decode -> batched
+NMS -> mask statistics -> envelope -> px->mm measurement — and prints ONE JSON
+line. vs_baseline is against the BASELINE.md target of 500 frames/s/chip
+(the reference publishes no benchmarks; its design cadence is 0.5 frames/s,
+reference config.py:138).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tti_jax_cache_bench")
+
+    from tti.calib.io import CalibrationData
+    from tti.core.config import MeasureConfig, ModelConfig, RoiConfig
+    from tti.model.yolo import init_variables
+    from tti.parallel.runtime import InspectionPipeline
+
+    frame_h, frame_w = 1080, 1920
+    batch = 16
+    imgsz = 640
+
+    # Deployment intrinsics scaled to the 1080p sensor grid + real extrinsics.
+    K = np.array(
+        [[937.1384518987244 * frame_w / 1280, 0.0, 636.148901113533 * frame_w / 1280],
+         [0.0, 884.022038878419 * frame_h / 960, 422.3901781816556 * frame_h / 960],
+         [0.0, 0.0, 1.0]]
+    )
+    dist = np.array([0.07994929130530135, 0.04758675999900327, -0.04013555042332606,
+                     -0.005228657034776396, -0.1334157094005971])
+    calib = CalibrationData(
+        K=K, dist=dist,
+        rvec=np.array([-0.8631369244225452, -0.3919482615538663, -1.3591256137314185]),
+        tvec=np.array([0.005016396186926285, 0.03590342712705542, 0.09382141278570659]),
+    )
+
+    model_cfg = ModelConfig(variant="n", num_classes=2, image_size=imgsz, dtype="bfloat16")
+    pipeline = InspectionPipeline(
+        model_cfg=model_cfg,
+        variables=init_variables(
+            __import__("tti.model.yolo", fromlist=["create_model"]).create_model(
+                "n", nc=2, dtype=jnp.bfloat16
+            ),
+            image_size=imgsz,
+        ),
+        frame_hw=(frame_h, frame_w),
+        calibration=calib,
+        measure_cfg=MeasureConfig(),
+        roi=RoiConfig(enabled=True, x_min=10, x_max=frame_w - 10, y_min=300,
+                      y_max=frame_h - 200),
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(batch, frame_h, frame_w, 3), dtype=np.uint8)
+    frames_dev = jnp.asarray(frames)
+
+    # Warmup / compile.
+    out = pipeline._step(pipeline.variables, frames_dev)
+    jax.block_until_ready(out)
+
+    # Throughput: repeated full-pipeline steps on resident frames.
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline._step(pipeline.variables, frames_dev)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    fps = batch * iters / elapsed
+
+    # p50 single-frame latency at 640px seg (secondary metric, printed to stderr).
+    lat_frames = jnp.asarray(frames[:1])
+    lats = []
+    for _ in range(10):
+        t = time.perf_counter()
+        jax.block_until_ready(pipeline._step(pipeline.variables, lat_frames))
+        lats.append(time.perf_counter() - t)
+    p50_ms = 1e3 * float(np.median(lats))
+
+    import sys
+
+    print(
+        f"batch={batch} iters={iters} elapsed={elapsed:.3f}s p50_latency_1frame={p50_ms:.2f}ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "undistorted_1080p_frames_per_sec_per_chip_e2e",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 500.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,290 @@
+"""Measurement core tests: ops vs numpy/cv2 oracles + full measure_frame scenes
+(SURVEY.md §4: synthetic fabric/stitch fixtures, geometry property tests)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from tti.core.config import MeasureConfig
+from tti.measure.ops import (
+    fabric_lower_envelope,
+    kmeans_1d_two_clusters,
+    masked_median,
+    stitch_stats,
+)
+from tti.measure.pipeline import (
+    CameraParams,
+    MeasureState,
+    StitchSet,
+    init_measure_state,
+    measure_frame,
+    smooth_measurement,
+    _mask_bottom_to_frame,
+)
+from tti.preprocess.letterbox import letterbox_spec
+
+
+# ---------------------------------------------------------------------------
+# ops-level oracles
+# ---------------------------------------------------------------------------
+
+
+def _envelope_reference(mask):
+    """Literal numpy port of _fabric_lower_envelope (measurement.py:170-185)."""
+    h, w = mask.shape
+    envelope = np.full((w,), -1, dtype=int)
+    rev = mask[::-1, :]
+    has_any = rev.any(axis=0)
+    idx = np.argmax(rev > 0, axis=0)
+    for x in range(w):
+        if has_any[x]:
+            envelope[x] = h - 1 - idx[x]
+    return envelope
+
+
+def test_envelope_matches_reference(rng):
+    mask = (rng.uniform(size=(40, 64)) > 0.8).astype(np.uint8)
+    mask[:, 10] = 0  # guarantee an empty column
+    got = np.asarray(fabric_lower_envelope(jnp.asarray(mask)))
+    np.testing.assert_array_equal(got, _envelope_reference(mask))
+
+
+def _kmeans_reference(values, max_iters=10):
+    """Literal port of kmeans_1d_two_clusters (measurement.py:88-113)."""
+    if values.size < 2:
+        return np.zeros(values.shape[0], dtype=int), (float(values.mean()),) * 2
+    c0, c1 = float(values.min()), float(values.max())
+    labels = np.zeros(values.shape[0], dtype=int)
+    for _ in range(max_iters):
+        d0 = np.abs(values - c0)
+        d1 = np.abs(values - c1)
+        new_labels = (d1 < d0).astype(int)
+        if new_labels.sum() == 0 or new_labels.sum() == len(values):
+            break
+        new_c0 = float(values[new_labels == 0].mean()) if (new_labels == 0).any() else c0
+        new_c1 = float(values[new_labels == 1].mean()) if (new_labels == 1).any() else c1
+        if new_c0 == c0 and new_c1 == c1:
+            break
+        c0, c1 = new_c0, new_c1
+        labels = new_labels
+    return labels, (c0, c1)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_kmeans_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate([rng.normal(100, 5, 6), rng.normal(300, 5, 5)]).astype(np.float32)
+    ref_labels, (rc0, rc1) = _kmeans_reference(vals)
+    labels, (c0, c1) = kmeans_1d_two_clusters(jnp.asarray(vals), jnp.ones(len(vals), bool))
+    np.testing.assert_array_equal(np.asarray(labels), ref_labels)
+    assert float(c0) == pytest.approx(rc0, abs=1e-3)
+    assert float(c1) == pytest.approx(rc1, abs=1e-3)
+
+
+def test_kmeans_padding_invariance(rng):
+    vals = np.concatenate([rng.normal(100, 5, 6), rng.normal(300, 5, 5)]).astype(np.float32)
+    padded = np.concatenate([vals, np.full(7, 777.0, np.float32)])
+    valid = np.concatenate([np.ones(len(vals), bool), np.zeros(7, bool)])
+    la, _ = kmeans_1d_two_clusters(jnp.asarray(vals), jnp.ones(len(vals), bool))
+    lb, _ = kmeans_1d_two_clusters(jnp.asarray(padded), jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(lb)[: len(vals)], np.asarray(la))
+
+
+def test_masked_median_matches_numpy(rng):
+    for n in [1, 2, 5, 8]:
+        vals = rng.normal(size=8).astype(np.float32)
+        mask = np.zeros(8, bool)
+        mask[:n] = True
+        med, ok = masked_median(jnp.asarray(vals), jnp.asarray(mask))
+        assert bool(ok)
+        assert float(med) == pytest.approx(float(np.median(vals[:n])), abs=1e-6)
+    med, ok = masked_median(jnp.asarray(vals), jnp.zeros(8, bool))
+    assert not bool(ok)
+
+
+def test_stitch_stats_matches_cv2_moments(rng):
+    n, h, w = 3, 32, 48
+    masks = np.zeros((n, h, w), np.uint8)
+    masks[0, 10:14, 5:15] = 1
+    masks[1, 20:23, 30:44] = 1
+    # instance 2 left empty -> bbox fallback
+    boxes = np.array([[5, 10, 15, 14], [30, 20, 44, 23], [10, 10, 20, 18]], np.float32)
+    valid = np.ones(n, bool)
+    cx, cy, left, right, has = stitch_stats(jnp.asarray(masks), jnp.asarray(boxes),
+                                            jnp.asarray(valid))
+    for i in range(2):
+        M = cv2.moments(masks[i])
+        assert float(cx[i]) == pytest.approx(M["m10"] / M["m00"], abs=1e-3)
+        assert float(cy[i]) == pytest.approx(M["m01"] / M["m00"], abs=1e-3)
+        cols = np.where(masks[i].any(axis=0))[0]
+        assert float(left[i]) == cols.min() and float(right[i]) == cols.max()
+    assert not bool(has[2])
+    assert float(cx[2]) == 15.0 and float(cy[2]) == 14.0  # bbox center fallback
+
+
+# ---------------------------------------------------------------------------
+# measure_frame scenes
+# ---------------------------------------------------------------------------
+
+
+FRAME_HW = (960, 1280)
+INPUT = 960
+
+
+@pytest.fixture(scope="module")
+def cam(ref_intrinsics=None, ref_extrinsics=None):
+    # fixtures with module scope can't consume session fixtures by position;
+    # construct directly from the same deployment values.
+    K = np.array(
+        [[937.1384518987244, 0.0, 636.148901113533],
+         [0.0, 884.022038878419, 422.3901781816556],
+         [0.0, 0.0, 1.0]]
+    )
+    dist = np.array([0.07994929130530135, 0.04758675999900327, -0.04013555042332606,
+                     -0.005228657034776396, -0.1334157094005971])
+    rvec = np.array([-0.8631369244225452, -0.3919482615538663, -1.3591256137314185])
+    tvec = np.array([0.005016396186926285, 0.03590342712705542, 0.09382141278570659])
+
+    class _Calib:
+        pass
+
+    c = _Calib()
+    c.K, c.dist, c.rvec, c.tvec = K, dist, rvec, tvec
+    return CameraParams.from_calibration(c), (K, dist, rvec, tvec)
+
+
+def _px_to_mm_oracle(u, v, K, dist, rvec, tvec):
+    R, _ = cv2.Rodrigues(rvec)
+    n_c = R[:, 2]
+    d_c = -float(n_c.dot(tvec))
+    pts = np.array([[[float(u), float(v)]]], dtype=np.float64)
+    und = cv2.undistortPoints(pts, K, dist, P=None)
+    ray = np.array([und[0, 0, 0], und[0, 0, 1], 1.0])
+    s = -d_c / float(n_c.dot(ray))
+    return R.T.dot(s * ray - tvec) * 1000.0
+
+
+def _scene(spec, n_bottom=5, n_top=4, env_mask_y=150, max_stitches=16):
+    """Two stitch rows above a flat fabric envelope (mask grid y=env_mask_y)."""
+    wm = spec.dst_w // 4
+    envelope = np.full((wm,), -1, np.int32)
+    envelope[20:220] = env_mask_y
+    env_frame_y = float(
+        _mask_bottom_to_frame(jnp.asarray(float(env_mask_y)), spec.pad_top, spec.scale)
+    )
+
+    cx = np.zeros(max_stitches, np.float32)
+    cy = np.zeros(max_stitches, np.float32)
+    left = np.zeros(max_stitches, np.float32)
+    right = np.zeros(max_stitches, np.float32)
+    valid = np.zeros(max_stitches, bool)
+    for i in range(n_bottom):
+        cx[i] = 300 + 120 * i
+        cy[i] = env_frame_y - 60  # near row
+        left[i], right[i] = cx[i] - 12, cx[i] + 12
+        valid[i] = True
+    for i in range(n_top):
+        j = n_bottom + i
+        cx[j] = 330 + 120 * i
+        cy[j] = env_frame_y - 460  # far row
+        left[j], right[j] = cx[j] - 12, cx[j] + 12
+        valid[j] = True
+    stitches = StitchSet(
+        cx=jnp.asarray(cx), cy=jnp.asarray(cy), left=jnp.asarray(left),
+        right=jnp.asarray(right), valid=jnp.asarray(valid),
+    )
+    return stitches, jnp.asarray(envelope), env_frame_y
+
+
+def test_measure_frame_two_rows(cam):
+    cam_params, (K, dist, rvec, tvec) = cam
+    spec = letterbox_spec(FRAME_HW[0], FRAME_HW[1], INPUT)
+    cfg = MeasureConfig()
+    stitches, envelope, env_frame_y = _scene(spec)
+
+    meas = measure_frame(stitches, envelope, jnp.asarray(True), cam_params, spec, cfg)
+
+    assert bool(meas.fabric_detected)
+    assert int(meas.n_stitches) == 9
+    # Only the bottom row (5 stitches, within 250 px of the envelope) measures
+    # edge distance; widths come from ALL stitches.
+    assert int(meas.n_dist) == 5
+    assert int(meas.n_width) == 9
+
+    # Oracle for one stitch's width + edge distance via cv2 geometry.
+    cx0, cy0 = 300.0, env_frame_y - 60
+    p_l = _px_to_mm_oracle(cx0 - 12, cy0, K, dist, rvec, tvec)
+    p_r = _px_to_mm_oracle(cx0 + 12, cy0, K, dist, rvec, tvec)
+    width0 = np.linalg.norm(p_r - p_l)
+    # All bottom/top stitches have the same pixel extent; widths vary with
+    # position but stay in the same ballpark.
+    assert float(meas.raw_width_mm) == pytest.approx(width0, rel=0.35)
+
+    p_s = _px_to_mm_oracle(cx0, cy0, K, dist, rvec, tvec)
+    p_e = _px_to_mm_oracle(cx0, env_frame_y, K, dist, rvec, tvec)
+    dist0 = np.linalg.norm(p_s - p_e)
+    assert float(meas.raw_edge_mm) == pytest.approx(dist0, rel=0.35)
+
+
+def test_measure_frame_no_fabric(cam):
+    cam_params, _ = cam
+    spec = letterbox_spec(FRAME_HW[0], FRAME_HW[1], INPUT)
+    cfg = MeasureConfig()
+    stitches, _, _ = _scene(spec)
+    envelope = jnp.full((spec.dst_w // 4,), -1, jnp.int32)
+
+    meas = measure_frame(stitches, envelope, jnp.asarray(False), cam_params, spec, cfg)
+    assert not bool(meas.fabric_detected)
+    assert np.isnan(float(meas.raw_edge_mm))
+    assert np.isnan(float(meas.raw_width_mm))
+    assert int(meas.n_dist) == 0
+
+
+def test_measure_frame_min_stitches_gate(cam):
+    cam_params, _ = cam
+    spec = letterbox_spec(FRAME_HW[0], FRAME_HW[1], INPUT)
+    cfg = MeasureConfig()
+    stitches, envelope, _ = _scene(spec, n_bottom=2, n_top=0)
+    meas = measure_frame(stitches, envelope, jnp.asarray(True), cam_params, spec, cfg)
+    # 2 < MIN_STITCHES=3 (reference: config.py:79) -> no metrics.
+    assert int(meas.n_stitches) == 2
+    assert np.isnan(float(meas.raw_edge_mm))
+
+
+def test_smoothing_median_window():
+    state = init_measure_state(frame_buffer=8)
+
+    class FakeMeas:
+        pass
+
+    def push(state, edge, width):
+        from tti.measure.pipeline import FrameMeasurement
+
+        meas = FrameMeasurement(
+            edge_distance_mm=jnp.asarray(np.nan), stitch_width_mm=jnp.asarray(np.nan),
+            raw_edge_mm=jnp.asarray(edge, jnp.float32),
+            raw_width_mm=jnp.asarray(width, jnp.float32),
+            n_dist=jnp.asarray(3), n_width=jnp.asarray(3), n_stitches=jnp.asarray(3),
+            fabric_detected=jnp.asarray(True),
+        )
+        return smooth_measurement(state, meas)
+
+    values = [5.0, 6.0, 100.0, 5.5]
+    outs = []
+    for v in values:
+        state, sm = push(state, v, v)
+        outs.append(float(sm.edge_distance_mm))
+    # Reference semantics (measurement.py:474-484): median of pushed values.
+    assert outs[0] == 5.0
+    assert outs[1] == 5.5
+    assert outs[2] == 6.0
+    assert outs[3] == pytest.approx(5.75)
+
+    # A NaN frame leaves the buffer untouched and reports NaN.
+    state2, sm = push(state, np.nan, np.nan)
+    assert np.isnan(float(sm.edge_distance_mm))
+    state3, sm2 = push(state2, 5.0, 5.0)
+    assert float(sm2.edge_distance_mm) == pytest.approx(5.5)

@@ -1,0 +1,94 @@
+"""Preprocess tests: letterbox geometry + parity vs cv2, fused undistort remap."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from tti.preprocess.letterbox import (
+    letterbox_spec,
+    preprocess_frames,
+    scale_boxes_to_frame,
+)
+from tti.preprocess.remap import (
+    build_undistort_letterbox_map,
+    remap_bilinear,
+    undistort_letterbox_frames,
+)
+
+
+def test_letterbox_spec_reference_geometry():
+    """1280x960 frame at imgsz 960 (the deployment's shapes:
+    reference config.py:59-60, measurement.py:210)."""
+    spec = letterbox_spec(960, 1280, 960)
+    assert spec.scale == 0.75
+    assert (spec.new_h, spec.new_w) == (720, 960)
+    assert spec.pad_top == 120 and spec.pad_left == 0
+
+
+def test_preprocess_matches_cv2_letterbox(rng):
+    frame = rng.integers(0, 255, size=(1, 96, 128, 3), dtype=np.uint8)
+    out, spec = preprocess_frames(jnp.asarray(frame), 64)
+    out = np.asarray(out)
+    assert out.shape == (1, 64, 64, 3)
+
+    resized = cv2.resize(frame[0, :, :, ::-1], (spec.new_w, spec.new_h),
+                         interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0
+    content = out[0, spec.pad_top:spec.pad_top + spec.new_h,
+                  spec.pad_left:spec.pad_left + spec.new_w]
+    # jax.image bilinear vs cv2 INTER_LINEAR: same half-pixel convention.
+    assert np.abs(content - resized).max() < 0.02
+    # Padding rows are the 114-gray border.
+    assert np.allclose(out[0, 0], 114 / 255, atol=1e-6)
+
+
+def test_scale_boxes_roundtrip():
+    spec = letterbox_spec(960, 1280, 960)
+    boxes_input = np.array([[0.0, 120.0, 960.0, 840.0]], np.float32)  # full content
+    frame_boxes = np.asarray(scale_boxes_to_frame(jnp.asarray(boxes_input), spec))
+    np.testing.assert_allclose(frame_boxes[0], [0, 0, 1280, 960], atol=1e-3)
+
+
+def test_remap_identity_map(rng):
+    """A map that samples pixel centers reproduces the image."""
+    frame = rng.uniform(0, 1, size=(1, 32, 48, 3)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(32, dtype=np.float32),
+                         np.arange(48, dtype=np.float32), indexing="ij")
+    map_xy = np.stack([xs, ys], -1)
+    out = np.asarray(remap_bilinear(jnp.asarray(frame), jnp.asarray(map_xy)))
+    np.testing.assert_allclose(out, frame, atol=1e-6)
+
+
+def test_undistort_remap_matches_cv2(ref_intrinsics, rng):
+    """Fused undistort+letterbox vs cv2.undistort + resize on a smooth image."""
+    K, dist = ref_intrinsics
+    h, w = 96, 128
+    # Scale intrinsics down to the small test frame.
+    Ks = K.copy()
+    Ks[0] *= w / 1280
+    Ks[1] *= h / 960
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([np.sin(xx / 9) * np.cos(yy / 7)] * 3, -1) * 0.5 + 0.5
+
+    spec = letterbox_spec(h, w, (h, w))  # no resize; isolate undistortion
+    map_xy = build_undistort_letterbox_map(Ks, dist, spec)
+    got = np.asarray(remap_bilinear(jnp.asarray(img[None]), jnp.asarray(map_xy)))[0]
+
+    expected = cv2.undistort(img, Ks, dist)
+    # Compare interior (borders differ where cv2 clamps and we pad).
+    sl = slice(8, -8)
+    assert np.abs(got[sl, sl] - expected[sl, sl]).max() < 0.03
+
+
+def test_undistort_letterbox_frames_dtype(rng, ref_intrinsics):
+    K, dist = ref_intrinsics
+    spec = letterbox_spec(96, 128, 64)
+    Ks = K.copy(); Ks[0] *= 128 / 1280; Ks[1] *= 96 / 960
+    map_xy = build_undistort_letterbox_map(Ks, dist, spec)
+    frames = rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+    out = np.asarray(undistort_letterbox_frames(jnp.asarray(frames), jnp.asarray(map_xy)))
+    assert out.shape == (2, 64, 64, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0

@@ -1,0 +1,324 @@
+"""The application orchestrator — the TPU build's ``main.py`` equivalent.
+
+Reproduces the reference's orchestration semantics (reference: main.py:56-355)
+on top of the batched TPU pipeline:
+
+- startup extrinsic calibration with stale-extrinsics fallback (main.py:25-53),
+- component init with degrade-don't-die: DB, serial, cleaner, MQTT each
+  continue as None/no-op on failure (main.py:100-155),
+- daily total-distance reset + resume from the last DB record
+  (main.py:104-125,168),
+- measurement loop: camera read with 10-strike reconnect (main.py:189-199),
+  inference every INFERENCE_INTERVAL seconds (main.py:209), measurement offsets
+  (main.py:229-232), range-validity gating (main.py:251-261), buffered-average
+  fallback with +-jitter (main.py:263-278), distance integration
+  ``total += stitch_delta * stitch_width`` and DB insert (main.py:280-291),
+  annotated JPEG per processed frame into a per-session directory
+  (main.py:296-314),
+- cleanup of every service on exit (main.py:334-355).
+
+Injectable clock/sleep/rng/frame-source make the whole loop unit-testable
+(tests/test_orchestrator.py) — the reference needs real hardware for any of it.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from collections import deque
+from datetime import datetime
+from typing import Callable
+
+import numpy as np
+
+from tti.app.annotate import annotate_frame, envelope_to_polyline
+from tti.app.results import measurement_to_dict
+from tti.app.sources import FrameSource, frames_iter
+from tti.core.config import AppConfig
+from tti.core.logging import StageTimer, get_logger
+from tti.measure.pipeline import init_measure_state, smooth_measurement
+from tti.services.cleaner import FileCleanerThread
+from tti.services.database import DatabaseHandler
+from tti.services.mqtt import MqttHeartbeat
+from tti.services.serial_reader import SerialReader
+
+log = get_logger("app.orchestrator")
+
+MAX_RECONNECT_ATTEMPTS = 10  # (reference: main.py:180)
+
+
+def run_startup_calibration(
+    config: AppConfig, source: FrameSource, solver: str = "tti"
+) -> bool:
+    """Extrinsic calibration gate with stale-extrinsics fallback
+    (reference: main.py:25-53)."""
+    from tti.calib.charuco import create_charuco_board, run_extrinsic_calibration
+    from tti.calib.io import load_intrinsics
+
+    try:
+        K, dist, _, _ = load_intrinsics(config.runtime.intrinsics_file)
+    except Exception as e:
+        log.error("cannot load intrinsics: %s", e)
+        return os.path.exists(config.runtime.extrinsics_file)
+
+    try:
+        board = create_charuco_board(config.board)
+        ok = run_extrinsic_calibration(
+            frames_iter(source), K, dist, config.runtime.extrinsics_file,
+            board=board, solver=solver,
+        )
+    except Exception as e:
+        log.warning("calibration error: %s", e)
+        ok = False
+
+    if ok:
+        log.info("calibration complete")
+        return True
+    if os.path.exists(config.runtime.extrinsics_file):
+        log.warning("calibration failed; using existing extrinsics file")
+        return True
+    log.error("calibration failed and no extrinsics on disk — cannot continue")
+    return False
+
+
+class Orchestrator:
+    """Init + measurement loop + cleanup, one camera stream."""
+
+    def __init__(
+        self,
+        config: AppConfig,
+        pipeline,  # tti.parallel.runtime.InspectionPipeline
+        source: FrameSource,
+        clock: Callable[[], float] = time.time,
+        sleep: Callable[[float], None] = time.sleep,
+        rng: random.Random | None = None,
+        save_annotated: bool = True,
+    ) -> None:
+        self.config = config
+        self.pipeline = pipeline
+        self.source = source
+        self.clock = clock
+        self.sleep = sleep
+        self.rng = rng or random.Random()
+        self.save_annotated = save_annotated
+        self.timer = StageTimer()
+
+        self.db: DatabaseHandler | None = None
+        self.serial: SerialReader | None = None
+        self.cleaner: FileCleanerThread | None = None
+        self.heartbeat: MqttHeartbeat | None = None
+
+        self.total_distance_mm = 0.0
+        self.last_stitch_count = 0
+        self.frame_count = 0
+        v = config.validation
+        # Buffered-average fallback seeds (reference: main.py:183-184).
+        self.valid_seam_buffer: deque[float] = deque([6.5] * v.valid_buffer, maxlen=v.valid_buffer)
+        self.valid_width_buffer: deque[float] = deque([3.9] * v.valid_buffer, maxlen=v.valid_buffer)
+        self.measure_state = init_measure_state(config.measure.frame_buffer)
+
+        self.session_dir: str | None = None
+
+    # -- init / teardown (degrade, don't die: reference main.py:100-155) ------
+
+    def init_services(self) -> None:
+        cfg = self.config
+        db = DatabaseHandler(cfg.database)
+        if db.connect():
+            self.db = db
+            self._daily_reset()
+            last = db.get_last_record_total_distance()
+            self.total_distance_mm = float(last) if last is not None else 0.0
+            log.info("starting total distance: %.2f mm", self.total_distance_mm)
+        else:
+            log.warning("database unavailable — continuing without persistence")
+
+        serial = SerialReader(cfg.serial)
+        if serial.start_reading():
+            self.serial = serial
+        else:
+            log.warning("serial unavailable — continuing without stitch counter")
+
+        self.cleaner = FileCleanerThread(
+            cfg.runtime.save_dir,
+            cfg.runtime.file_retention_hours,
+            cfg.runtime.file_cleanup_interval_s,
+        )
+        self.cleaner.start()
+
+        try:
+            if cfg.mqtt.server:
+                self.heartbeat = MqttHeartbeat(cfg.mqtt)
+                self.heartbeat.start()
+        except Exception as e:
+            log.warning("mqtt heartbeat not started: %s", e)
+
+        os.makedirs(cfg.runtime.save_dir, exist_ok=True)
+        session = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        self.session_dir = os.path.join(cfg.runtime.save_dir, session)
+        os.makedirs(self.session_dir, exist_ok=True)
+
+    def _daily_reset(self) -> None:
+        """Zero-insert on a new day / first run (reference: main.py:104-125)."""
+        assert self.db is not None
+        last_date = self.db.get_last_record_date()
+        today = datetime.now().date()
+        if last_date is None or last_date != today:
+            self.db.insert_measurement(
+                total_distance=0.0, stitch_length=0.0, seam_allowance=0.0
+            )
+            log.info("total distance reset to 0 (new day or first record)")
+
+    def shutdown(self) -> None:
+        if self.serial:
+            self.serial.stop()
+        if self.db:
+            self.db.close()
+        if self.cleaner:
+            self.cleaner.stop()
+        self.source.release()
+        if self.heartbeat:
+            self.heartbeat.stop()
+        log.info("shutdown complete: %d frames processed", self.frame_count)
+
+    # -- one measurement tick --------------------------------------------------
+
+    def process_once(self, frame: np.ndarray) -> dict:
+        """Run one frame through the device pipeline + the reference's fusion,
+        gating, buffering and integration logic. Returns the measurement dict
+        augmented with fusion state (for logging/tests)."""
+        cfg = self.config
+        with self.timer.stage("device"):
+            outs = self.pipeline.process_batch(frame[None])
+        meas_batch = outs.measurements
+        if meas_batch is not None:
+            self.measure_state, smoothed = smooth_measurement(
+                self.measure_state,
+                _index_measurement(meas_batch, 0),
+            )
+            result = measurement_to_dict(smoothed)
+        else:
+            result = {"edge_distance_mm": None, "stitch_width_mm": None,
+                      "stitch_count": 0, "timestamp": datetime.now()}
+
+        current_count = self.serial.get_stitch_count() if self.serial else self.last_stitch_count
+        stitch_delta = current_count - self.last_stitch_count
+        self.last_stitch_count = current_count
+
+        seam = result["edge_distance_mm"]
+        width = result["stitch_width_mm"]
+        # Offsets only on present values (reference: main.py:229-232).
+        if seam is not None:
+            seam += cfg.validation.seam_length_offset_mm
+        if width is not None:
+            width += cfg.validation.stitch_width_offset_mm
+
+        v = cfg.validation
+        valid_seam = seam is not None and v.seam_lower_mm < seam < v.seam_upper_mm
+        valid_width = width is not None and v.stitch_lower_mm < width < v.stitch_upper_mm
+        has_valid = valid_seam and valid_width
+
+        if has_valid:
+            self.valid_seam_buffer.append(seam)
+            self.valid_width_buffer.append(width)
+        elif self.valid_seam_buffer and self.valid_width_buffer:
+            # Buffered average + jitter (reference: main.py:270-278).
+            seam = sum(self.valid_seam_buffer) / len(self.valid_seam_buffer) + self.rng.uniform(
+                -v.jitter_seam_mm, v.jitter_seam_mm
+            )
+            width = sum(self.valid_width_buffer) / len(self.valid_width_buffer) + self.rng.uniform(
+                -v.jitter_width_mm, v.jitter_width_mm
+            )
+            has_valid = True
+
+        moved = 0.0
+        inserted = False
+        if stitch_delta > 0 and has_valid:
+            moved = stitch_delta * width
+            self.total_distance_mm += moved
+            if self.db:
+                inserted = self.db.insert_measurement(
+                    total_distance=round(self.total_distance_mm, 1),
+                    stitch_length=round(width, 1),
+                    seam_allowance=round(seam, 1),
+                )
+                if not inserted:
+                    log.warning("db insert failed — will retry on next valid measurement")
+
+        result.update(
+            seam_mm=seam, width_mm=width, stitch_delta=stitch_delta,
+            stitch_count_hw=current_count, moved_mm=moved,
+            total_mm=self.total_distance_mm, valid=has_valid, inserted=inserted,
+            outputs=outs,
+        )
+        return result
+
+    def save_annotated_frame(self, frame: np.ndarray, result: dict) -> str | None:
+        if not self.save_annotated or self.session_dir is None:
+            return None
+        try:
+            import cv2
+        except ImportError:
+            return None
+        outs = result["outputs"]
+        hud = []
+        if result["valid"]:
+            hud.append(
+                f"Count: {result['stitch_count_hw']} | Moved: {result['moved_mm']:.2f}mm | "
+                f"Total: {result['total_mm']:.2f}mm | Seam: {result['seam_mm']:.2f}mm | "
+                f"Width: {result['width_mm']:.2f}mm"
+            )
+        else:
+            hud.append(f"Stitch count: {result['stitch_count_hw']} (waiting for measurements)")
+        annotated = annotate_frame(
+            frame,
+            outs.boxes_frame[0], outs.classes[0], outs.valid[0],
+            self.config.model.stitch_class_id, self.config.model.fabric_class_id,
+            roi_bounds=self.pipeline.roi_bounds,
+            hud_lines=hud,
+        )
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        path = os.path.join(self.session_dir, f"frame_{self.frame_count:05d}_{ts}.jpg")
+        cv2.imwrite(path, annotated)
+        return path
+
+    # -- the loop -----------------------------------------------------------------
+
+    def run(self, max_frames: int | None = None) -> None:
+        """The measurement loop (reference: main.py:187-329)."""
+        last_inference = 0.0
+        reconnect_attempts = 0
+        try:
+            while True:
+                ok, frame = self.source.read()
+                if not ok:
+                    reconnect_attempts += 1
+                    if max_frames is not None and reconnect_attempts > MAX_RECONNECT_ATTEMPTS:
+                        break  # bounded runs (tests/replay) stop at source end
+                    if reconnect_attempts >= MAX_RECONNECT_ATTEMPTS:
+                        log.warning("camera disconnected — reconnecting")
+                        self.source.reconnect()
+                        reconnect_attempts = 0
+                    self.sleep(0.1)
+                    continue
+                reconnect_attempts = 0
+
+                now = self.clock()
+                if now - last_inference >= self.config.runtime.inference_interval_s:
+                    result = self.process_once(frame)
+                    self.save_annotated_frame(frame, result)
+                    last_inference = now
+                    self.frame_count += 1
+                    if max_frames is not None and self.frame_count >= max_frames:
+                        break
+        except KeyboardInterrupt:
+            log.info("interrupted by user")
+        finally:
+            self.shutdown()
+
+
+def _index_measurement(meas_batch, i: int):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: x[i], meas_batch)

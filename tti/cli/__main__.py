@@ -1,0 +1,245 @@
+"""tti command line: calibrate / run / check-model / capture / convert / bench.
+
+The reference's operator workflows are scattered standalone scripts
+(SURVEY.md §2 "Manual harnesses": Utils/check_model.py, Utils/auto_capture.py,
+Utils/usb_camera.py, plus `python main.py` / `python calibration.py` entries);
+here they are subcommands of one CLI:
+
+  python -m tti.cli calibrate  --intrinsics camera_calibration.json
+  python -m tti.cli run        [--images DIR] [--max-frames N]
+  python -m tti.cli check-model --images DIR --weights W  (annotated dump)
+  python -m tti.cli capture    --out DIR --interval 2     (dataset capture)
+  python -m tti.cli convert    --pt model.pt --out model.ckpt
+  python -m tti.cli bench      (same harness as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from tti.core.config import load_config
+from tti.core.logging import get_logger
+
+log = get_logger("cli")
+
+
+def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
+    import jax.numpy as jnp
+
+    from tti.model.convert import load_checkpoint
+    from tti.model.yolo import create_model, init_variables
+    from tti.parallel.runtime import InspectionPipeline
+
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype)
+    variables = init_variables(model, image_size=cfg.model.image_size)
+    if cfg.model.weights and os.path.exists(cfg.model.weights):
+        variables = load_checkpoint(cfg.model.weights, variables)
+        log.info("loaded weights from %s", cfg.model.weights)
+    else:
+        log.warning("weights %r not found — using random init", cfg.model.weights)
+    return InspectionPipeline(
+        model_cfg=cfg.model,
+        variables=variables,
+        frame_hw=frame_hw,
+        calibration=calibration,
+        measure_cfg=cfg.measure,
+        roi=cfg.roi,
+        return_masks=return_masks,
+        model=model,
+    )
+
+
+def cmd_calibrate(args) -> int:
+    from tti.app.orchestrator import run_startup_calibration
+    from tti.app.sources import OpenCVCameraSource
+
+    cfg = load_config()
+    source = OpenCVCameraSource(cfg.camera)
+    ok = run_startup_calibration(cfg, source, solver=args.solver)
+    source.release()
+    print("RESULT:", "SUCCESS" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+def cmd_run(args) -> int:
+    """The main measurement loop (reference: python main.py)."""
+    from tti.app.orchestrator import Orchestrator, run_startup_calibration
+    from tti.app.sources import DirectorySource, OpenCVCameraSource, SyntheticSource
+    from tti.calib.io import CalibrationData
+
+    cfg = load_config(validate=not args.no_validate)
+
+    if args.images:
+        source = DirectorySource(args.images, loop=args.loop)
+        frame_hw = _probe_hw(source)
+    elif args.synthetic:
+        source = SyntheticSource(cfg.camera.height, cfg.camera.width,
+                                 count=args.max_frames)
+        frame_hw = (cfg.camera.height, cfg.camera.width)
+    else:
+        source = OpenCVCameraSource(cfg.camera)
+        frame_hw = (cfg.camera.height, cfg.camera.width)
+        if not args.skip_calibration:
+            if not run_startup_calibration(cfg, source):
+                return 1
+
+    calibration = None
+    if os.path.exists(cfg.runtime.intrinsics_file) and os.path.exists(cfg.runtime.extrinsics_file):
+        calibration = CalibrationData.load(cfg.runtime.intrinsics_file, cfg.runtime.extrinsics_file)
+    else:
+        log.warning("calibration files missing — running detection-only")
+
+    pipeline = _load_pipeline(cfg, frame_hw, calibration)
+    orch = Orchestrator(cfg, pipeline, source)
+    orch.init_services()
+    orch.run(max_frames=args.max_frames)
+    return 0
+
+
+def _probe_hw(source):
+    ok, frame = source.read()
+    if not ok:
+        raise RuntimeError("source produced no frames")
+    source._idx = 0  # rewind DirectorySource
+    return frame.shape[:2]
+
+
+def cmd_check_model(args) -> int:
+    """Headless segmentation sanity check with annotated dumps
+    (reference: Utils/check_model.py)."""
+    import cv2
+
+    from tti.app.annotate import annotate_frame
+    from tti.app.sources import DirectorySource, SyntheticSource
+
+    cfg = load_config(validate=False)
+    if args.images:
+        source = DirectorySource(args.images)
+        frame_hw = _probe_hw(source)
+    else:
+        source = SyntheticSource(cfg.camera.height, cfg.camera.width, count=args.max_frames)
+        frame_hw = (cfg.camera.height, cfg.camera.width)
+    pipeline = _load_pipeline(cfg, frame_hw, return_masks=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    count = 0
+    while count < args.max_frames:
+        ok, frame = source.read()
+        if not ok:
+            break
+        outs = pipeline.process_batch(frame[None])
+        n = int(outs.valid[0].sum())
+        annotated = annotate_frame(
+            frame, outs.boxes_frame[0], outs.classes[0], outs.valid[0],
+            cfg.model.stitch_class_id, cfg.model.fabric_class_id,
+            hud_lines=[f"detections: {n}"],
+        )
+        path = os.path.join(args.out, f"check_{count:05d}.jpg")
+        cv2.imwrite(path, annotated)
+        print(f"{path}: {n} detections")
+        count += 1
+    return 0
+
+
+def cmd_capture(args) -> int:
+    """Timed dataset capture (reference: Utils/auto_capture.py)."""
+    import time
+
+    import cv2
+
+    from tti.app.sources import OpenCVCameraSource
+
+    cfg = load_config(validate=False)
+    source = OpenCVCameraSource(cfg.camera)
+    os.makedirs(args.out, exist_ok=True)
+    count = 0
+    try:
+        while count < args.max_frames:
+            ok, frame = source.read()
+            if not ok:
+                continue
+            path = os.path.join(args.out, f"capture_{count:05d}.jpg")
+            cv2.imwrite(path, frame)
+            print("saved", path)
+            count += 1
+            time.sleep(args.interval)
+    finally:
+        source.release()
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """Convert a PyTorch checkpoint to a tti msgpack checkpoint."""
+    import torch
+
+    from tti.model.convert import convert_torch_state_dict, save_checkpoint
+
+    obj = torch.load(args.pt, map_location="cpu", weights_only=False)
+    state_dict = obj
+    if hasattr(obj, "state_dict"):
+        state_dict = obj.state_dict()
+    elif isinstance(obj, dict):
+        for key in ("model", "ema", "state_dict"):
+            if key in obj:
+                inner = obj[key]
+                state_dict = inner.state_dict() if hasattr(inner, "state_dict") else inner
+                break
+    variables = convert_torch_state_dict(state_dict)
+    save_checkpoint(variables, args.out, metadata={"source": args.pt})
+    print("wrote", args.out)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="tti")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("calibrate", help="run extrinsic ChArUco calibration")
+    p.add_argument("--solver", default="tti", choices=["tti", "cv2"])
+    p.set_defaults(func=cmd_calibrate)
+
+    p = sub.add_parser("run", help="measurement loop (main.py equivalent)")
+    p.add_argument("--images", help="replay image directory instead of camera")
+    p.add_argument("--synthetic", action="store_true", help="synthetic frames")
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--skip-calibration", action="store_true")
+    p.add_argument("--no-validate", action="store_true")
+    p.set_defaults(func=cmd_run)
+
+    p = sub.add_parser("check-model", help="annotated detection dump")
+    p.add_argument("--images")
+    p.add_argument("--out", default="check_frames")
+    p.add_argument("--max-frames", type=int, default=20)
+    p.set_defaults(func=cmd_check_model)
+
+    p = sub.add_parser("capture", help="timed dataset capture")
+    p.add_argument("--out", default="captures")
+    p.add_argument("--interval", type=float, default=2.0)
+    p.add_argument("--max-frames", type=int, default=1000)
+    p.set_defaults(func=cmd_capture)
+
+    p = sub.add_parser("convert", help="convert .pt weights to tti checkpoint")
+    p.add_argument("--pt", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.set_defaults(func=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,389 @@
+"""The measurement pass: detections + masks -> seam/stitch metrics, one XLA op.
+
+Reproduces the reference's ``process_frame`` measurement steps
+(reference: measurement.py:188-511) as a single jitted, fixed-shape function:
+
+  STEP 1  stitch widths from ALL stitches      (measurement.py:339-368)
+  STEP 2  row selection for seam allowance     (measurement.py:374-430)
+  STEP 3  edge distances for the near row      (measurement.py:432-462)
+  STEP 4  means gated on MIN_STITCHES,
+          median-of-FRAME_BUFFER smoothing     (measurement.py:469-484)
+
+with these TPU-first re-designs:
+- every per-stitch Python loop is a masked batched op (max_stitches padding),
+- both pixel->mm endpoints of every stitch go through ONE batched ray-plane
+  call instead of 2 cv2 calls per stitch,
+- masks stay on the proto grid (model input / 4); statistics map to frame
+  coordinates with the exact NEAREST-upsample relations (centroid of an
+  upsampled block = 4*c + 1.5; envelope bottom row = 4*e + 3), so numbers match
+  computing on full-resolution masks without ever materializing them,
+- temporal smoothing is a functional ring-buffer state (MeasureState) carried
+  through the step, not a Python deque.
+
+"Missing" values are NaN in-graph; the host boundary (tti.app.results) converts
+them to the reference's None + error-string dict contract
+(measurement.py:506-511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tti.calib.geometry import pixels_to_plane_mm
+from tti.core.config import MeasureConfig
+from tti.measure.ops import (
+    fabric_lower_envelope,
+    kmeans_1d_two_clusters,
+    masked_mean,
+    masked_median,
+    stitch_stats,
+)
+from tti.postprocess.decode import Detections
+from tti.postprocess.masks import assemble_masks
+from tti.preprocess.letterbox import LetterboxSpec
+
+Array = jax.Array
+
+PROTO_STRIDE = 4  # proto grid = model input / 4
+
+
+@flax.struct.dataclass
+class CameraParams:
+    """Device-side calibration bundle (float32)."""
+
+    K: Array  # (3,3)
+    dist: Array  # (5,)
+    R: Array  # (3,3)
+    t: Array  # (3,)
+
+    @staticmethod
+    def from_calibration(calib) -> "CameraParams":
+        import numpy as np
+
+        from tti.calib.geometry import rodrigues
+
+        R = rodrigues(jnp.asarray(calib.rvec, jnp.float32))
+        return CameraParams(
+            K=jnp.asarray(calib.K, jnp.float32),
+            dist=jnp.asarray(calib.dist, jnp.float32),
+            R=R,
+            t=jnp.asarray(np.asarray(calib.tvec).reshape(3), jnp.float32),
+        )
+
+
+@flax.struct.dataclass
+class FrameMeasurement:
+    """Per-frame metrics; NaN = absent (host converts to None)."""
+
+    edge_distance_mm: Array  # smoothed (scalar)
+    stitch_width_mm: Array  # smoothed
+    raw_edge_mm: Array
+    raw_width_mm: Array
+    n_dist: Array  # int32: stitches used for edge distance ('stitch_count')
+    n_width: Array
+    n_stitches: Array  # all detected stitches after ROI gating
+    fabric_detected: Array  # bool
+
+
+@flax.struct.dataclass
+class MeasureState:
+    """Functional replacement for the 8-deep median deques
+    (reference: measurement.py:149-150)."""
+
+    dist_buf: Array  # (F,)
+    width_buf: Array
+    dist_n: Array  # int32 filled count
+    width_n: Array
+    dist_pos: Array  # int32 ring cursor
+    width_pos: Array
+
+
+def init_measure_state(frame_buffer: int = 8) -> MeasureState:
+    zeros = jnp.zeros((frame_buffer,), jnp.float32)
+    zi = jnp.zeros((), jnp.int32)
+    return MeasureState(zeros, zeros, zi, zi, zi, zi)
+
+
+# Static measurement knobs as a hashable config (MeasureConfig is frozen).
+MeasureParams = MeasureConfig
+
+
+# ---------------------------------------------------------------------------
+# Grid mappings (proto/mask grid <-> model-input px <-> frame px)
+# ---------------------------------------------------------------------------
+
+
+def _mask_center_to_frame(x_mask: Array, pad: float, scale: float) -> Array:
+    """Centroid-consistent: NEAREST-upsampling a mask by 4 maps a low-res
+    centroid c to 4c + 1.5 in input px; then un-letterbox to frame px."""
+    return (x_mask * PROTO_STRIDE + 1.5 - pad) / scale
+
+
+def _mask_left_to_frame(x_mask: Array, pad: float, scale: float) -> Array:
+    return (x_mask * PROTO_STRIDE - pad) / scale
+
+
+def _mask_right_to_frame(x_mask: Array, pad: float, scale: float) -> Array:
+    return (x_mask * PROTO_STRIDE + 3.0 - pad) / scale
+
+
+def _mask_bottom_to_frame(y_mask: Array, pad: float, scale: float) -> Array:
+    """Envelope rows are bottom-most pixels: block bottom row = 4e + 3."""
+    return (y_mask * PROTO_STRIDE + 3.0 - pad) / scale
+
+
+def _frame_x_to_mask_col(x_frame: Array, pad: float, scale: float) -> Array:
+    return (x_frame * scale + pad) / PROTO_STRIDE
+
+
+# ---------------------------------------------------------------------------
+# Detection -> per-stitch arrays (class split, ROI gate, mask stats)
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class StitchSet:
+    """Fixed-size per-stitch arrays in FRAME pixel coordinates."""
+
+    cx: Array
+    cy: Array
+    left: Array
+    right: Array
+    valid: Array  # bool
+
+
+def roi_center_gate(
+    boxes_frame: Array, roi_bounds: tuple[float, float, float, float] | None
+) -> Array:
+    """Keep detections whose bbox center lies inside the ROI
+    (reference: measurement.py:253-259). roi_bounds None => all pass."""
+    if roi_bounds is None:
+        return jnp.ones(boxes_frame.shape[:-1], bool)
+    x_min, y_min, x_max, y_max = roi_bounds
+    cx = 0.5 * (boxes_frame[..., 0] + boxes_frame[..., 2])
+    cy = 0.5 * (boxes_frame[..., 1] + boxes_frame[..., 3])
+    return (cx >= x_min) & (cx <= x_max) & (cy >= y_min) & (cy <= y_max)
+
+
+def prepare_frame_inputs(
+    dets: Detections,
+    protos: Array,
+    spec: LetterboxSpec,
+    stitch_class_id: int,
+    fabric_class_id: int,
+    roi_bounds: tuple[float, float, float, float] | None,
+    max_stitches: int,
+) -> tuple[StitchSet, Array, Array]:
+    """Single-frame glue: split classes, gate by ROI, build stitch statistics
+    and the fabric envelope. All shapes static.
+
+    dets: single-frame Detections (D rows); protos (Hm, Wm, nm).
+    Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool).
+    """
+    input_hw = (spec.dst_h, spec.dst_w)
+    boxes_frame = _boxes_to_frame(dets.boxes, spec)
+    in_roi = roi_center_gate(boxes_frame, roi_bounds) & dets.valid
+
+    is_stitch = in_roi & (dets.classes == stitch_class_id)
+    is_fabric = in_roi & (dets.classes == fabric_class_id)
+
+    # Instance masks at proto resolution (cropped to boxes, binarized) — one
+    # einsum for all detections; measurement reduces from this grid directly.
+    masks = assemble_masks(protos, dets.coefs, dets.boxes, dets.valid, input_hw)
+
+    fabric_union = jnp.any(jnp.where(is_fabric[:, None, None], masks > 0, False), axis=0)
+    fabric_any = jnp.any(fabric_union)
+    envelope = fabric_lower_envelope(fabric_union)
+
+    # Compact the stitch rows to a fixed max_stitches budget (top rows by score
+    # order are already sorted by NMS; stable top_k on the mask keeps that).
+    stitch_rank = jnp.where(is_stitch, dets.scores, -1.0)
+    _, order = jax.lax.top_k(stitch_rank, min(max_stitches, stitch_rank.shape[0]))
+    sel_valid = is_stitch[order]
+
+    sel_masks = masks[order]
+    # Stats on the *mask* grid; bbox fallback needs mask-grid boxes.
+    scale_vec = jnp.array(
+        [
+            protos.shape[1] / input_hw[1],
+            protos.shape[0] / input_hw[0],
+            protos.shape[1] / input_hw[1],
+            protos.shape[0] / input_hw[0],
+        ],
+        jnp.float32,
+    )
+    boxes_mask_grid = dets.boxes[order] * scale_vec
+    cx_m, cy_m, left_m, right_m, _ = stitch_stats(sel_masks, boxes_mask_grid, sel_valid)
+
+    stitches = StitchSet(
+        cx=_mask_center_to_frame(cx_m, spec.pad_left, spec.scale),
+        cy=_mask_center_to_frame(cy_m, spec.pad_top, spec.scale),
+        left=_mask_left_to_frame(left_m, spec.pad_left, spec.scale),
+        right=_mask_right_to_frame(right_m, spec.pad_left, spec.scale),
+        valid=sel_valid,
+    )
+    return stitches, envelope, fabric_any
+
+
+def _boxes_to_frame(boxes: Array, spec: LetterboxSpec) -> Array:
+    shift = jnp.array([spec.pad_left, spec.pad_top, spec.pad_left, spec.pad_top], boxes.dtype)
+    limit = jnp.array([spec.src_w, spec.src_h, spec.src_w, spec.src_h], boxes.dtype)
+    return jnp.clip((boxes - shift) / spec.scale, 0.0, limit)
+
+
+# ---------------------------------------------------------------------------
+# The measurement op
+# ---------------------------------------------------------------------------
+
+
+def _sample_envelope_frame(
+    envelope: Array, cx_frame: Array, spec: LetterboxSpec, neighborhood: int
+) -> tuple[Array, Array]:
+    """Median envelope height (frame px) over the +-neighborhood FRAME columns
+    around each centroid (reference: measurement.py:408-419,444-449). Frame
+    columns map to (possibly repeated) mask columns — repetition mirrors the
+    NEAREST-expanded envelope the reference reads."""
+    w = envelope.shape[0]
+    offs = jnp.arange(-neighborhood, neighborhood + 1, dtype=jnp.float32)
+    cols_f = _frame_x_to_mask_col(cx_frame[:, None] + offs[None, :], spec.pad_left, spec.scale)
+    cols = jnp.clip(cols_f.astype(jnp.int32), 0, w - 1)
+    vals = envelope[cols].astype(jnp.float32)
+    ok = vals >= 0
+    med_mask_y, has = masked_median(vals, ok, axis=-1)
+    env_frame_y = _mask_bottom_to_frame(med_mask_y, spec.pad_top, spec.scale)
+    return jnp.where(has, env_frame_y, 0.0), has
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def measure_frame(
+    stitches: StitchSet,
+    envelope: Array,
+    fabric_any: Array,
+    cam: CameraParams,
+    spec: LetterboxSpec,
+    cfg: MeasureConfig,
+) -> FrameMeasurement:
+    """STEPs 1-4 of the reference measurement on one frame's stitch set."""
+    valid = stitches.valid
+    n_stitches = jnp.sum(valid)
+    any_stitch = n_stitches > 0
+
+    # ---- STEP 1: widths from ALL stitches (measurement.py:339-368).
+    # Both endpoints of every stitch in ONE batched px->mm call.
+    width_pts = jnp.stack(
+        [
+            jnp.stack([stitches.left, stitches.cy], axis=-1),
+            jnp.stack([stitches.right, stitches.cy], axis=-1),
+        ],
+        axis=1,
+    )  # (N, 2, 2)
+    w_mm, w_ok = pixels_to_plane_mm(
+        width_pts, cam.K, cam.dist, cam.R, cam.t, iters=cfg.undistort_iters
+    )
+    widths = jnp.linalg.norm(w_mm[:, 1] - w_mm[:, 0], axis=-1)
+    width_valid = valid & w_ok[:, 0] & w_ok[:, 1]
+
+    # ---- STEP 2: row selection (measurement.py:374-430).
+    env_y, has_env = _sample_envelope_frame(
+        envelope, stitches.cx, spec, cfg.envelope_neighborhood
+    )
+    multi = n_stitches >= 2
+    if cfg.skip_cluster:
+        med_y, _ = masked_median(stitches.cy, valid)
+        big = jnp.asarray(1e9, jnp.float32)
+        y_range = jnp.max(jnp.where(valid, stitches.cy, -big)) - jnp.min(
+            jnp.where(valid, stitches.cy, big)
+        )
+        split = multi & (y_range > cfg.two_row_threshold_px)
+        selected = valid & jnp.where(split, stitches.cy >= med_y, True)
+    else:
+        labels, _ = kmeans_1d_two_clusters(stitches.cy, valid)
+        env_rows = envelope >= 0
+        env_mean_mask_y, env_has = masked_mean(envelope.astype(jnp.float32), env_rows)
+        fabric_mean_y = _mask_bottom_to_frame(env_mean_mask_y, spec.pad_top, spec.scale)
+        c0_mean, c0_has = masked_mean(stitches.cy, valid & (labels == 0))
+        c1_mean, c1_has = masked_mean(stitches.cy, valid & (labels == 1))
+        c0_dist = jnp.where(c0_has, jnp.abs(c0_mean - fabric_mean_y), 1e9)
+        c1_dist = jnp.where(c1_has, jnp.abs(c1_mean - fabric_mean_y), 1e9)
+        chosen = jnp.where(env_has, jnp.where(c0_dist < c1_dist, 0, 1), 0)
+        selected = valid & jnp.where(multi, labels == chosen, True)
+
+    # Envelope-proximity gate with fall-back-to-selected (measurement.py:408-430).
+    near = selected & has_env & (jnp.abs(stitches.cy - env_y) < cfg.max_px_distance)
+    final = jnp.where(jnp.any(near), near, selected)
+
+    # ---- STEP 3: edge distances for the near row (measurement.py:432-462).
+    edge_pts = jnp.stack(
+        [
+            jnp.stack([stitches.cx, stitches.cy], axis=-1),
+            jnp.stack([stitches.cx, env_y], axis=-1),
+        ],
+        axis=1,
+    )
+    e_mm, e_ok = pixels_to_plane_mm(
+        edge_pts, cam.K, cam.dist, cam.R, cam.t, iters=cfg.undistort_iters
+    )
+    dists = jnp.linalg.norm(e_mm[:, 1] - e_mm[:, 0], axis=-1)
+    dist_valid = final & has_env & e_ok[:, 0] & e_ok[:, 1]
+
+    # ---- STEP 4: means gated on MIN_STITCHES (measurement.py:469-472).
+    n_dist = jnp.sum(dist_valid)
+    n_width = jnp.sum(width_valid)
+    avg_dist, _ = masked_mean(dists, dist_valid)
+    avg_width, _ = masked_mean(widths, width_valid)
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+    # No fabric / no stitches reproduce the reference's error paths
+    # (measurement.py:281-287,332-337): no metrics at all.
+    usable = fabric_any & any_stitch
+    raw_edge = jnp.where(usable & (n_dist >= cfg.min_stitches), avg_dist, nan)
+    raw_width = jnp.where(usable & (n_width >= cfg.min_stitches), avg_width, nan)
+
+    return FrameMeasurement(
+        edge_distance_mm=raw_edge,  # smoothing applied by smooth_measurement
+        stitch_width_mm=raw_width,
+        raw_edge_mm=raw_edge,
+        raw_width_mm=raw_width,
+        n_dist=jnp.where(usable, n_dist, 0).astype(jnp.int32),
+        n_width=jnp.where(usable, n_width, 0).astype(jnp.int32),
+        n_stitches=n_stitches.astype(jnp.int32),
+        fabric_detected=fabric_any,
+    )
+
+
+def _push_and_median(
+    buf: Array, n: Array, pos: Array, value: Array
+) -> tuple[Array, Array, Array, Array]:
+    """Push ``value`` (if not NaN) into the ring; return masked median."""
+    has = ~jnp.isnan(value)
+    f = buf.shape[0]
+    new_buf = jnp.where(has, buf.at[pos].set(jnp.nan_to_num(value)), buf)
+    new_n = jnp.where(has, jnp.minimum(n + 1, f), n)
+    new_pos = jnp.where(has, (pos + 1) % f, pos)
+    idx = jnp.arange(f)
+    med, any_valid = masked_median(new_buf, idx < new_n)
+    med = jnp.where(has & any_valid, med, jnp.nan)
+    return new_buf, new_n, new_pos, med
+
+
+@jax.jit
+def smooth_measurement(
+    state: MeasureState, meas: FrameMeasurement
+) -> tuple[MeasureState, FrameMeasurement]:
+    """Median-of-window smoothing (reference: measurement.py:474-484): a frame
+    with a value pushes it and reads the window median; a frame without one
+    reports NaN and leaves the window untouched."""
+    d_buf, d_n, d_pos, d_med = _push_and_median(
+        state.dist_buf, state.dist_n, state.dist_pos, meas.raw_edge_mm
+    )
+    w_buf, w_n, w_pos, w_med = _push_and_median(
+        state.width_buf, state.width_n, state.width_pos, meas.raw_width_mm
+    )
+    new_state = MeasureState(d_buf, w_buf, d_n, w_n, d_pos, w_pos)
+    return new_state, dataclasses.replace(
+        meas, edge_distance_mm=d_med, stitch_width_mm=w_med
+    )

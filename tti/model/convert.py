@@ -1,0 +1,177 @@
+"""PyTorch -> flax weight conversion and native checkpoint IO.
+
+The reference loads ``.pt`` weights by path (reference: config.py:67,
+measurement.py:145). Here deployment checkpoints are msgpack flax variable trees
+(via flax.serialization), and this module converts Ultralytics-format PyTorch
+state dicts (``model.{idx}.{...}`` keys) into them.
+
+Conversion is a mechanical rename + transpose:
+- conv weights  (O, I, kH, kW) -> (kH, kW, I, O)
+- deconv weights (I, O, kH, kW) -> (kH, kW, I, O)
+- BatchNorm weight/bias -> params.bn.{scale,bias};
+  running_mean/var -> batch_stats.bn.{mean,var}
+- ``model.22.dfl.conv.weight`` is skipped: it is the fixed arange(16) projection,
+  realised as softmax-expectation in tti.postprocess.decode (no parameters).
+
+The torch module index map (m0..m22) matches tti.model.yolo by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+Tree = dict[str, Any]
+
+
+def _set_path(tree: Tree, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _to_numpy(t: Any) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+_HEAD_BRANCH = re.compile(r"^(cv[234])\.(\d)\.(\d)\.(.*)$")
+_C2F_INNER = re.compile(r"^m\.(\d+)\.(.*)$")
+
+
+def _convert_leaf(rest: str, tensor: np.ndarray, params_path: list[str],
+                  params: Tree, batch_stats: Tree, transpose_deconv: bool = False) -> None:
+    """Map one torch parameter suffix (e.g. 'conv.weight', 'bn.running_mean')
+    into the flax tree rooted at params_path."""
+    if rest == "conv.weight":
+        _set_path(params, params_path + ["conv", "kernel"], tensor.transpose(2, 3, 1, 0))
+    elif rest == "bn.weight":
+        _set_path(params, params_path + ["bn", "scale"], tensor)
+    elif rest == "bn.bias":
+        _set_path(params, params_path + ["bn", "bias"], tensor)
+    elif rest == "bn.running_mean":
+        _set_path(batch_stats, params_path + ["bn", "mean"], tensor)
+    elif rest == "bn.running_var":
+        _set_path(batch_stats, params_path + ["bn", "var"], tensor)
+    elif rest == "bn.num_batches_tracked":
+        pass
+    elif rest == "weight":  # plain conv / deconv with bias
+        if transpose_deconv:
+            # torch ConvTranspose2d is the gradient-of-conv (kernel applied
+            # flipped relative to lax.conv_transpose's default): flip spatial
+            # dims, then (I, O, kH, kW) -> flax (kH, kW, I, O). Verified
+            # numerically against torch in tests/test_model_parity.py.
+            _set_path(
+                params,
+                params_path + ["kernel"],
+                tensor[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy(),
+            )
+        else:
+            _set_path(params, params_path + ["kernel"], tensor.transpose(2, 3, 1, 0))
+    elif rest == "bias":
+        _set_path(params, params_path + ["bias"], tensor)
+    else:
+        raise ValueError(f"unhandled parameter suffix: {rest!r} at {'/'.join(params_path)}")
+
+
+def convert_torch_state_dict(state_dict: Mapping[str, Any]) -> dict[str, Tree]:
+    """Convert an Ultralytics-format state dict to flax variables
+    {'params': ..., 'batch_stats': ...} matching tti.model.yolo.YOLOv8Seg."""
+    params: Tree = {}
+    batch_stats: Tree = {}
+
+    for name, value in state_dict.items():
+        if not name.startswith("model."):
+            continue
+        tensor = _to_numpy(value)
+        _, idx_str, rest = name.split(".", 2)
+        module = f"m{idx_str}"
+
+        if "dfl" in rest:
+            continue  # fixed arange projection, realised in postprocess
+
+        path = [module]
+        # Head branches: cv2/cv3/cv4 .level.block.suffix and proto.*
+        head_match = _HEAD_BRANCH.match(rest)
+        if head_match:
+            branch, level, block, suffix = head_match.groups()
+            path.append(f"{branch}_{level}_{block}")
+            _convert_leaf(suffix, tensor, path, params, batch_stats)
+            continue
+        if rest.startswith("proto."):
+            sub = rest[len("proto."):]
+            if sub.startswith("upsample."):
+                _convert_leaf(sub[len("upsample."):], tensor, path + ["proto", "upsample"],
+                              params, batch_stats, transpose_deconv=True)
+            else:
+                inner, _, suffix = sub.partition(".")
+                # cv1/cv2/cv3 are Conv blocks: suffix like 'conv.weight'/'bn.*'
+                _convert_leaf(suffix, tensor, path + ["proto", inner], params, batch_stats)
+            continue
+
+        # C2f inner bottlenecks: m.{j}.cvX.* -> m{j}/cvX/*
+        inner_match = _C2F_INNER.match(rest)
+        if inner_match:
+            j, sub = inner_match.groups()
+            inner, _, suffix = sub.partition(".")
+            _convert_leaf(suffix, tensor, path + [f"m{j}", inner], params, batch_stats)
+            continue
+
+        # cv1/cv2 of C2f/SPPF, or stem 'conv.weight'/'bn.*' directly.
+        if rest.startswith(("cv1.", "cv2.")):
+            inner, _, suffix = rest.partition(".")
+            _convert_leaf(suffix, tensor, path + [inner], params, batch_stats)
+        else:
+            _convert_leaf(rest, tensor, path, params, batch_stats)
+
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def verify_tree_shapes(converted: Tree, reference: Tree, path: str = "") -> list[str]:
+    """Compare converted tree against a model-initialized tree; returns a list of
+    mismatch descriptions (empty = structurally identical)."""
+    problems: list[str] = []
+    ref_keys = set(reference)
+    conv_keys = set(converted)
+    for missing in sorted(ref_keys - conv_keys):
+        problems.append(f"missing {path}/{missing}")
+    for extra in sorted(conv_keys - ref_keys):
+        problems.append(f"unexpected {path}/{extra}")
+    for key in sorted(ref_keys & conv_keys):
+        r, c = reference[key], converted[key]
+        if isinstance(r, dict):
+            if not isinstance(c, dict):
+                problems.append(f"type mismatch at {path}/{key}")
+            else:
+                problems.extend(verify_tree_shapes(c, r, f"{path}/{key}"))
+        else:
+            if tuple(np.shape(c)) != tuple(np.shape(r)):
+                problems.append(
+                    f"shape mismatch at {path}/{key}: {np.shape(c)} vs {np.shape(r)}"
+                )
+    return problems
+
+
+def save_checkpoint(variables: Tree, path: str, metadata: dict | None = None) -> None:
+    """Serialize flax variables (+ JSON metadata sidecar) to msgpack."""
+    import json
+
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    if metadata is not None:
+        with open(path + ".json", "w", encoding="utf-8") as f:
+            json.dump(metadata, f, indent=2)
+
+
+def load_checkpoint(path: str, template: Tree) -> Tree:
+    """Deserialize msgpack into the structure of ``template`` (from model.init)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

@@ -1,0 +1,162 @@
+"""YOLOv8 building blocks in flax (NHWC, TPU-native).
+
+The reference delegates all of this to the Ultralytics/PyTorch wheel
+(reference: measurement.py:145,208-210 — SURVEY.md §2 "Inference engine"); here the
+CSP blocks are re-implemented for XLA: NHWC layout (TPU conv-native), bf16-friendly
+compute dtype with fp32 params, BatchNorm running stats in flax's ``batch_stats``
+collection so inference folds BN into the conv at compile time.
+
+Semantics (kernel sizes, channel math, activation, BN eps/momentum) follow the
+public YOLOv8 architecture so that converted PyTorch weights reproduce identical
+outputs — verified in tests/test_model_parity.py against a torch oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def autopad(k: int, d: int = 1) -> int:
+    k_eff = d * (k - 1) + 1
+    return k_eff // 2
+
+
+class Conv(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + SiLU — the YOLOv8 'Conv' block."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        p = autopad(self.k, self.d)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(p, p), (p, p)],
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        # torch BatchNorm2d(eps=1e-3, momentum=0.03): flax momentum = 1 - 0.03.
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class Bottleneck(nn.Module):
+    """Two 3x3 Convs with optional residual (C2f inner block, e=1.0)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c_hidden = int(self.c2 * self.e)
+        y = Conv(c_hidden, 3, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            y = x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with n bottlenecks and dense skip concat."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1, y2 = jnp.split(y, 2, axis=-1)
+        outs = [y1, y2]
+        prev = y2
+        for i in range(self.n):
+            prev = Bottleneck(c, self.shortcut, e=1.0, dtype=self.dtype, name=f"m{i}")(prev, train)
+            outs.append(prev)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(outs, axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained k-pools, concat, project."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c_hidden = x.shape[-1] // 2
+        y = Conv(c_hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        p = self.k // 2
+        pools = [y]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1], (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)]
+                )
+            )
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, axis=-1), train
+        )
+
+
+class Proto(nn.Module):
+    """Mask prototype head: conv -> learned 2x deconv -> conv -> 1x1 to nm protos."""
+
+    c_hidden: int
+    nm: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = nn.ConvTranspose(
+            self.c_hidden,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="upsample",
+        )(x)
+        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.nm, 1, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsample as repeats — cheaper for XLA than gather-based resize."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)

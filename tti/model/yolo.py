@@ -1,0 +1,203 @@
+"""YOLOv8-seg in flax (NHWC), variants n/s/m/l/x.
+
+Replaces the reference's third-party inference engine (``ultralytics.YOLO`` at
+reference: measurement.py:145,208-210) with a native JAX implementation:
+CSPDarknet/C2f backbone, SPPF, PAN-FPN neck, decoupled anchor-free Detect head
+with DFL box regression, mask-coefficient head and mask prototype head
+(SURVEY.md §2 "Inference engine" row — the component the TPU framework
+re-implements from scratch).
+
+Design notes (TPU-first):
+- NHWC everywhere; convs land on the MXU with no layout transposes.
+- Raw head outputs are returned per-level as (B, H, W, C) tensors; DFL decode,
+  NMS and mask assembly live in ``tti.postprocess`` so the whole forward stays
+  dense and static-shaped.
+- ``dtype`` selects the compute precision (bfloat16 by default in production);
+  parameters stay float32.
+- Module names mirror the public YOLOv8 layer indices (m0..m22) so weight
+  conversion from PyTorch checkpoints is a mechanical rename
+  (see tti.model.convert).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tti.model.layers import C2f, Conv, Proto, SPPF, make_divisible, upsample2x_nearest
+
+Dtype = Any
+
+# depth multiple, width multiple, max channels — public YOLOv8 scale table.
+SCALES: dict[str, tuple[float, float, int]] = {
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "l": (1.0, 1.0, 512),
+    "x": (1.0, 1.25, 512),
+}
+
+STRIDES = (8, 16, 32)
+REG_MAX = 16  # DFL bins per box side
+
+
+def model_channels(variant: str) -> dict[str, int]:
+    """Resolved channel counts for a variant (useful for head/proto sizing)."""
+    d, w, maxc = SCALES[variant]
+    ch = {c: make_divisible(min(c, maxc) * w, 8) for c in (64, 128, 256, 512, 1024)}
+    return {
+        "p3": ch[256],
+        "p4": ch[512],
+        "p5": ch[1024],
+        "npr": make_divisible(256 * w, 8),  # proto hidden channels
+        "depth3": max(round(3 * d), 1),
+        "depth6": max(round(6 * d), 1),
+        **{f"c{c}": ch[c] for c in (64, 128, 256, 512, 1024)},
+    }
+
+
+@flax.struct.dataclass
+class RawPredictions:
+    """Per-level raw head outputs (logits; decode in tti.postprocess).
+
+    box:   3 x (B, Hl, Wl, 4*REG_MAX)  DFL distribution logits
+    cls:   3 x (B, Hl, Wl, nc)         class logits (pre-sigmoid)
+    mcoef: 3 x (B, Hl, Wl, nm)         mask coefficients (tanh-free, raw)
+    protos:    (B, H/4, W/4, nm)       mask prototypes
+    """
+
+    box: tuple[jnp.ndarray, ...]
+    cls: tuple[jnp.ndarray, ...]
+    mcoef: tuple[jnp.ndarray, ...]
+    protos: jnp.ndarray
+
+
+def _cls_bias_init(stride: int, nc: int, imgsz: int = 640):
+    """Focal-style prior so a fresh model starts near the detection operating
+    point (~5 objects per 640px image)."""
+    value = math.log(5 / nc / (imgsz / stride) ** 2)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+class Segment(nn.Module):
+    """Decoupled Detect + mask-coefficient branches + shared Proto."""
+
+    nc: int = 2
+    nm: int = 32
+    npr: int = 64
+    ch: tuple[int, int, int] = (64, 128, 256)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = False
+    ) -> RawPredictions:
+        c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        c4 = max(self.ch[0] // 4, self.nm)
+
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(feats[0], train)
+
+        box_out, cls_out, coef_out = [], [], []
+        for level, x in enumerate(feats):
+            b = Conv(c2, 3, 1, dtype=self.dtype, name=f"cv2_{level}_0")(x, train)
+            b = Conv(c2, 3, 1, dtype=self.dtype, name=f"cv2_{level}_1")(b, train)
+            b = nn.Conv(
+                4 * REG_MAX, (1, 1), use_bias=True, dtype=self.dtype,
+                param_dtype=jnp.float32, bias_init=nn.initializers.ones,
+                name=f"cv2_{level}_2",
+            )(b)
+            c = Conv(c3, 3, 1, dtype=self.dtype, name=f"cv3_{level}_0")(x, train)
+            c = Conv(c3, 3, 1, dtype=self.dtype, name=f"cv3_{level}_1")(c, train)
+            c = nn.Conv(
+                self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                param_dtype=jnp.float32,
+                bias_init=_cls_bias_init(STRIDES[level], self.nc),
+                name=f"cv3_{level}_2",
+            )(c)
+            m = Conv(c4, 3, 1, dtype=self.dtype, name=f"cv4_{level}_0")(x, train)
+            m = Conv(c4, 3, 1, dtype=self.dtype, name=f"cv4_{level}_1")(m, train)
+            m = nn.Conv(
+                self.nm, (1, 1), use_bias=True, dtype=self.dtype,
+                param_dtype=jnp.float32, name=f"cv4_{level}_2",
+            )(m)
+            box_out.append(b)
+            cls_out.append(c)
+            coef_out.append(m)
+
+        return RawPredictions(
+            box=tuple(box_out), cls=tuple(cls_out), mcoef=tuple(coef_out), protos=protos
+        )
+
+
+class YOLOv8Seg(nn.Module):
+    """Full segmentation network: backbone + PAN neck + Segment head."""
+
+    variant: str = "n"
+    nc: int = 2
+    nm: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> RawPredictions:
+        cc = model_channels(self.variant)
+        n3, n6 = cc["depth3"], cc["depth6"]
+        dt = self.dtype
+        x = x.astype(dt)
+
+        # Backbone (P1..P5).
+        x0 = Conv(cc["c64"], 3, 2, dtype=dt, name="m0")(x, train)
+        x1 = Conv(cc["c128"], 3, 2, dtype=dt, name="m1")(x0, train)
+        x2 = C2f(cc["c128"], n3, True, dtype=dt, name="m2")(x1, train)
+        x3 = Conv(cc["c256"], 3, 2, dtype=dt, name="m3")(x2, train)
+        x4 = C2f(cc["c256"], n6, True, dtype=dt, name="m4")(x3, train)  # P3
+        x5 = Conv(cc["c512"], 3, 2, dtype=dt, name="m5")(x4, train)
+        x6 = C2f(cc["c512"], n6, True, dtype=dt, name="m6")(x5, train)  # P4
+        x7 = Conv(cc["c1024"], 3, 2, dtype=dt, name="m7")(x6, train)
+        x8 = C2f(cc["c1024"], n3, True, dtype=dt, name="m8")(x7, train)
+        x9 = SPPF(cc["c1024"], 5, dtype=dt, name="m9")(x8, train)  # P5
+
+        # PAN neck.
+        t = jnp.concatenate([upsample2x_nearest(x9), x6], axis=-1)
+        x12 = C2f(cc["c512"], n3, False, dtype=dt, name="m12")(t, train)
+        t = jnp.concatenate([upsample2x_nearest(x12), x4], axis=-1)
+        x15 = C2f(cc["c256"], n3, False, dtype=dt, name="m15")(t, train)  # N3 out
+        t = Conv(cc["c256"], 3, 2, dtype=dt, name="m16")(x15, train)
+        t = jnp.concatenate([t, x12], axis=-1)
+        x18 = C2f(cc["c512"], n3, False, dtype=dt, name="m18")(t, train)  # N4 out
+        t = Conv(cc["c512"], 3, 2, dtype=dt, name="m19")(x18, train)
+        t = jnp.concatenate([t, x9], axis=-1)
+        x21 = C2f(cc["c1024"], n3, False, dtype=dt, name="m21")(t, train)  # N5 out
+
+        head = Segment(
+            nc=self.nc,
+            nm=self.nm,
+            npr=cc["npr"],
+            ch=(cc["p3"], cc["p4"], cc["p5"]),
+            dtype=dt,
+            name="m22",
+        )
+        return head((x15, x18, x21), train)
+
+
+def create_model(
+    variant: str = "n", nc: int = 2, nm: int = 32, dtype: Dtype = jnp.float32
+) -> YOLOv8Seg:
+    if variant not in SCALES:
+        raise ValueError(f"unknown variant {variant!r}; choose from {sorted(SCALES)}")
+    return YOLOv8Seg(variant=variant, nc=nc, nm=nm, dtype=dtype)
+
+
+def init_variables(model: YOLOv8Seg, image_size: int = 640, seed: int = 0):
+    """Initialize {'params', 'batch_stats'} with a dummy NHWC batch."""
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy, train=False)

@@ -1,0 +1,3 @@
+from tti.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+
+__all__ = ["batch_sharding", "create_mesh", "replicated_sharding"]

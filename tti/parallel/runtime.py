@@ -1,0 +1,247 @@
+"""The production inference runtime: batched frames -> detections + metrics.
+
+This is the TPU replacement for the reference's hot path
+(reference: main.py:187-314 + measurement.py:188-511): instead of one
+synchronous predict every 2 s, the runtime jits the ENTIRE chain
+
+    uint8 frames -> (fused undistort+)letterbox -> YOLOv8-seg -> DFL decode
+    -> batched NMS -> mask statistics -> envelope -> px->mm measurement
+
+into one XLA program over a (B, H, W, 3) batch, sharded over a 1-D 'data' mesh
+(BASELINE.json configs 3-5). The host only supplies camera frames and receives
+compact geometry (boxes, per-frame metrics, proto-res masks for rendering) —
+no per-detection host/device ping-pong.
+
+Dual-model pipelines (BASELINE config 4: best_Model + single_needle_model
+sharing preprocessed frames) reuse one preprocess pass via ``DualPipeline``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tti.calib.io import CalibrationData
+from tti.core.config import MeasureConfig, ModelConfig, RoiConfig
+from tti.measure.pipeline import (
+    CameraParams,
+    FrameMeasurement,
+    MeasureState,
+    init_measure_state,
+    measure_frame,
+    prepare_frame_inputs,
+    smooth_measurement,
+)
+from tti.model.yolo import YOLOv8Seg, create_model
+from tti.parallel.mesh import batch_sharding, create_mesh
+from tti.postprocess.decode import Detections, decode_predictions
+from tti.postprocess.nms import batched_nms
+from tti.preprocess.letterbox import LetterboxSpec, letterbox_spec, preprocess_frames
+from tti.preprocess.remap import build_undistort_letterbox_map, undistort_letterbox_frames
+
+Array = jax.Array
+
+
+@dataclass
+class PipelineOutputs:
+    """Host-side results for one batch (numpy)."""
+
+    boxes_frame: np.ndarray  # (B, D, 4) xyxy in source-frame px
+    scores: np.ndarray
+    classes: np.ndarray
+    valid: np.ndarray
+    masks: np.ndarray | None  # (B, D, Hm, Wm) proto-res binary, for rendering
+    measurements: Any | None  # FrameMeasurement pytree of (B,) arrays, or None
+
+
+class InspectionPipeline:
+    """Builds and owns the jitted device step for one model."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        variables: dict,
+        frame_hw: tuple[int, int],
+        calibration: CalibrationData | None = None,
+        measure_cfg: MeasureConfig | None = None,
+        roi: RoiConfig | None = None,
+        mesh=None,
+        return_masks: bool = False,
+        undistort: bool = True,
+        model: YOLOv8Seg | None = None,
+    ) -> None:
+        self.model_cfg = model_cfg
+        self.measure_cfg = measure_cfg or MeasureConfig()
+        self.frame_hw = frame_hw
+        self.spec: LetterboxSpec = letterbox_spec(frame_hw[0], frame_hw[1], model_cfg.image_size)
+        self.mesh = mesh
+        self.return_masks = return_masks
+
+        dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
+        self.model = model or create_model(
+            model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
+        )
+        self.variables = variables
+
+        self.roi_bounds: tuple[float, float, float, float] | None = None
+        if roi is not None and roi.enabled:
+            # Clamped to frame like the reference (measurement.py:222-236).
+            h, w = frame_hw
+            x1 = max(0, min(roi.x_min, w - 1))
+            x2 = max(0, min(roi.x_max, w - 1))
+            y1 = max(0, min(roi.y_min, h - 1))
+            y2 = max(0, min(roi.y_max, h - 1))
+            if x1 < x2 and y1 < y2:
+                self.roi_bounds = (float(x1), float(y1), float(x2), float(y2))
+
+        self.cam: CameraParams | None = None
+        self.remap_xy: Array | None = None
+        if calibration is not None:
+            self.cam = CameraParams.from_calibration(calibration)
+            if undistort:
+                self.remap_xy = jnp.asarray(
+                    build_undistort_letterbox_map(calibration.K, calibration.dist, self.spec)
+                )
+
+        self._step = self._build_step()
+
+    # -- device step -------------------------------------------------------
+
+    def _build_step(self):
+        spec = self.spec
+        cfg = self.measure_cfg
+        mcfg = self.model_cfg
+        roi_bounds = self.roi_bounds
+        measure_enabled = self.cam is not None
+        return_masks = self.return_masks
+        remap_xy = self.remap_xy
+        cam = self.cam
+
+        def step(variables, frames_u8):
+            if remap_xy is not None:
+                x = undistort_letterbox_frames(frames_u8, remap_xy)
+            else:
+                x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w))
+            raw = self.model.apply(variables, x, train=False)
+            boxes, probs, coefs = decode_predictions(raw)
+            dets = batched_nms(
+                boxes,
+                probs,
+                coefs,
+                conf_thresh=mcfg.conf_thresh,
+                iou_thresh=mcfg.iou_thresh,
+                max_det=mcfg.max_detections,
+            )
+
+            outs: dict[str, Any] = {"dets": dets}
+
+            if measure_enabled or return_masks:
+                def per_frame(d: Detections, protos):
+                    stitches, envelope, fabric_any = prepare_frame_inputs(
+                        d, protos, spec, mcfg.stitch_class_id, mcfg.fabric_class_id,
+                        roi_bounds, cfg.max_stitches,
+                    )
+                    meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg) \
+                        if measure_enabled else None
+                    return meas
+
+                if measure_enabled:
+                    outs["measurements"] = jax.vmap(per_frame)(dets, raw.protos)
+
+            if return_masks:
+                from tti.postprocess.masks import assemble_masks
+
+                outs["masks"] = jax.vmap(
+                    lambda d, p: assemble_masks(
+                        p, d.coefs, d.boxes, d.valid, (spec.dst_h, spec.dst_w)
+                    )
+                )(dets, raw.protos)
+
+            # Boxes back to frame coordinates for the host.
+            from tti.preprocess.letterbox import scale_boxes_to_frame
+
+            outs["boxes_frame"] = scale_boxes_to_frame(dets.boxes, spec)
+            return outs
+
+        jitted = jax.jit(step)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jitted = jax.jit(
+                step,
+                in_shardings=(NamedSharding(self.mesh, P()), batch_sharding(self.mesh)),
+            )
+        return jitted
+
+    # -- host API ------------------------------------------------------------
+
+    def process_batch(self, frames_bgr_u8: np.ndarray) -> PipelineOutputs:
+        """frames (B, H, W, 3) uint8 BGR -> host results (blocking)."""
+        outs = self._step(self.variables, jnp.asarray(frames_bgr_u8))
+        dets = outs["dets"]
+        meas = outs.get("measurements")
+        return PipelineOutputs(
+            boxes_frame=np.asarray(outs["boxes_frame"]),
+            scores=np.asarray(dets.scores),
+            classes=np.asarray(dets.classes),
+            valid=np.asarray(dets.valid),
+            masks=np.asarray(outs["masks"]) if "masks" in outs else None,
+            measurements=meas,
+        )
+
+    def process_batch_async(self, frames_bgr_u8: np.ndarray):
+        """Dispatch without blocking (device buffers returned; call
+        jax.block_until_ready or np.asarray later). Lets the host pipeline the
+        next batch's IO under device compute."""
+        return self._step(self.variables, jnp.asarray(frames_bgr_u8))
+
+
+class DualPipeline:
+    """Two models sharing one preprocessed batch (BASELINE.json config 4).
+
+    The fused undistort/letterbox remap runs once; both model forwards consume
+    the same device buffer.
+    """
+
+    def __init__(self, primary: InspectionPipeline, secondary: InspectionPipeline) -> None:
+        if primary.spec != secondary.spec:
+            raise ValueError("dual pipelines must share letterbox geometry")
+        self.primary = primary
+        self.secondary = secondary
+        self._step = self._build()
+
+    def _build(self):
+        spec = self.primary.spec
+        remap_xy = self.primary.remap_xy
+
+        def step(vars_a, vars_b, frames_u8):
+            if remap_xy is not None:
+                x = undistort_letterbox_frames(frames_u8, remap_xy)
+            else:
+                x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w))
+
+            def run(model, variables, mcfg):
+                raw = model.apply(variables, x, train=False)
+                boxes, probs, coefs = decode_predictions(raw)
+                return batched_nms(
+                    boxes, probs, coefs,
+                    conf_thresh=mcfg.conf_thresh, iou_thresh=mcfg.iou_thresh,
+                    max_det=mcfg.max_detections,
+                )
+
+            return (
+                run(self.primary.model, vars_a, self.primary.model_cfg),
+                run(self.secondary.model, vars_b, self.secondary.model_cfg),
+            )
+
+        return jax.jit(step)
+
+    def process_batch(self, frames_bgr_u8: np.ndarray):
+        return self._step(
+            self.primary.variables, self.secondary.variables, jnp.asarray(frames_bgr_u8)
+        )

@@ -1,0 +1,124 @@
+"""Fixed-shape batched NMS in XLA.
+
+The reference relies on Ultralytics' dynamic-shape torchvision NMS
+(conf=0.20, iou=0.25, max_det=200 — reference: config.py:71-73,
+measurement.py:208-210). TPU/XLA requires static shapes, so this is a
+fixed-shape re-design (SURVEY.md §7 "Hard parts"):
+
+1. per-anchor best class (multi_label=False semantics),
+2. confidence mask + top-k pre-selection (pre_topk candidates),
+3. one K x K IoU matrix, class-masked (equivalent to the class-offset trick),
+4. greedy suppression as a sequential scan over score-sorted candidates —
+   exact greedy NMS, identical keep-set to torchvision for distinct scores,
+5. emit the top ``max_det`` survivors, padded with valid=False rows.
+
+Cost: K=512 -> one 512x512 IoU matrix + a 512-step scan of K-wide vector ops;
+microseconds on a v5e and independent of detection count (no host sync,
+no recompile).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tti.postprocess.decode import Detections
+
+Array = jax.Array
+
+
+def box_iou_matrix(boxes: Array) -> Array:
+    """Pairwise IoU of (K, 4) xyxy boxes -> (K, K)."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _nms_single(
+    boxes: Array,
+    probs: Array,
+    coefs: Array,
+    conf_thresh: float,
+    iou_thresh: float,
+    max_det: int,
+    pre_topk: int,
+    class_aware: bool,
+) -> Detections:
+    scores_all = jnp.max(probs, axis=-1)
+    classes_all = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    conf_ok = scores_all >= conf_thresh
+    ranked = jnp.where(conf_ok, scores_all, -1.0)
+
+    k = min(pre_topk, ranked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    cand_boxes = boxes[top_idx]
+    cand_classes = classes_all[top_idx]
+    cand_coefs = coefs[top_idx]
+    cand_ok = top_scores > 0.0
+
+    iou = box_iou_matrix(cand_boxes)
+    if class_aware:
+        same_class = cand_classes[:, None] == cand_classes[None, :]
+        iou = jnp.where(same_class, iou, 0.0)
+    overlaps = iou > iou_thresh
+
+    # Greedy sweep in score order (candidates are already sorted descending).
+    def step(suppressed: Array, i: Array) -> tuple[Array, Array]:
+        keep_i = cand_ok[i] & ~suppressed[i]
+        suppressed = suppressed | (keep_i & overlaps[i])
+        # A box never suppresses itself.
+        suppressed = suppressed.at[i].set(~keep_i & suppressed[i])
+        return suppressed, keep_i
+
+    _, keep = jax.lax.scan(step, jnp.zeros((k,), bool), jnp.arange(k))
+
+    k_out = min(max_det, k)
+    out_scores, order = jax.lax.top_k(jnp.where(keep, top_scores, -1.0), k_out)
+    if k_out < max_det:  # fewer candidates than the output budget: pad
+        out_scores = jnp.pad(out_scores, (0, max_det - k_out), constant_values=-1.0)
+        order = jnp.pad(order, (0, max_det - k_out))
+    valid = out_scores > 0.0
+    sel = lambda a: jnp.where(valid.reshape(valid.shape + (1,) * (a.ndim - 1)), a[order], 0)
+    return Detections(
+        boxes=sel(cand_boxes),
+        scores=jnp.where(valid, out_scores, 0.0),
+        classes=jnp.where(valid, cand_classes[order], -1),
+        coefs=sel(cand_coefs),
+        valid=valid,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_topk", "class_aware"),
+)
+def batched_nms(
+    boxes: Array,
+    probs: Array,
+    coefs: Array,
+    conf_thresh: float = 0.20,
+    iou_thresh: float = 0.25,
+    max_det: int = 200,
+    pre_topk: int = 512,
+    class_aware: bool = True,
+) -> Detections:
+    """Batched greedy NMS: (B, A, 4) boxes + (B, A, nc) probs + (B, A, nm) coefs
+    -> Detections with fixed (B, max_det) shapes. Defaults mirror the reference
+    thresholds (config.py:71-73)."""
+    fn = partial(
+        _nms_single,
+        conf_thresh=conf_thresh,
+        iou_thresh=iou_thresh,
+        max_det=max_det,
+        pre_topk=pre_topk,
+        class_aware=class_aware,
+    )
+    return jax.vmap(fn)(boxes, probs, coefs)

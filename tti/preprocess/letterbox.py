@@ -1,0 +1,109 @@
+"""Fused preprocessing: BGR->RGB + letterbox resize + normalize, in-graph.
+
+The reference's preprocessing happens inside the Ultralytics predictor on CPU
+(BGR->RGB at reference: measurement.py:205; letterbox/normalize inside
+``model.predict(..., imgsz=960)`` at measurement.py:208-210). Here it is a pure
+jnp function traced into the same XLA program as the model forward, so resize,
+channel flip, scale and pad fuse with the first conv's HBM read
+(BASELINE.json north star: "letterbox-resize, BGR->RGB, and normalize
+preprocessing fuse directly into the model graph").
+
+Letterbox semantics match Ultralytics: uniform scale r = min(T/h, T/w),
+bilinear resize to (round(h*r), round(w*r)), center padding with 114/255.
+All geometry is static: the spec is computed at trace time from static shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+PAD_VALUE = 114.0  # Ultralytics letterbox border color
+
+
+@dataclass(frozen=True)
+class LetterboxSpec:
+    """Static geometry of a letterbox transform (source -> target)."""
+
+    src_h: int
+    src_w: int
+    dst_h: int
+    dst_w: int
+    scale: float
+    new_h: int  # resized content height
+    new_w: int
+    pad_top: int
+    pad_left: int
+
+
+def letterbox_spec(src_h: int, src_w: int, target: int | tuple[int, int]) -> LetterboxSpec:
+    dst_h, dst_w = (target, target) if isinstance(target, int) else target
+    r = min(dst_h / src_h, dst_w / src_w)
+    new_h, new_w = round(src_h * r), round(src_w * r)
+    pad_top = (dst_h - new_h) // 2
+    pad_left = (dst_w - new_w) // 2
+    return LetterboxSpec(src_h, src_w, dst_h, dst_w, r, new_h, new_w, pad_top, pad_left)
+
+
+def bgr_to_rgb(frames: Array) -> Array:
+    """(..., 3) channel flip (reference: measurement.py:205)."""
+    return frames[..., ::-1]
+
+
+def normalize(frames: Array, dtype=jnp.float32) -> Array:
+    """uint8 [0,255] -> float [0,1]."""
+    return frames.astype(dtype) / jnp.asarray(255.0, dtype)
+
+
+def letterbox(frames: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
+    """(B, H, W, 3) float frames -> (B, dst_h, dst_w, 3), bilinear + center pad."""
+    b = frames.shape[0]
+    # antialias=False matches cv2.INTER_LINEAR (classic bilinear sampling, no
+    # downscale prefilter) — required for numerical parity with the Ultralytics
+    # preprocess; jax's default antialias=True is a *different* resize.
+    resized = jax.image.resize(
+        frames.astype(dtype), (b, spec.new_h, spec.new_w, 3), method="bilinear",
+        antialias=False,
+    )
+    pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
+    pad_right = spec.dst_w - spec.new_w - spec.pad_left
+    return jnp.pad(
+        resized,
+        ((0, 0), (spec.pad_top, pad_bottom), (spec.pad_left, pad_right), (0, 0)),
+        constant_values=jnp.asarray(PAD_VALUE / 255.0, dtype),
+    )
+
+
+def preprocess_frames(
+    frames_bgr_u8: Array, target: int | tuple[int, int], dtype=jnp.float32
+) -> tuple[Array, LetterboxSpec]:
+    """uint8 BGR (B, H, W, 3) -> normalized RGB letterboxed (B, T, T, 3).
+
+    The single fused entry point: flip + normalize + resize + pad in one traced
+    graph. Returns the spec needed to map detections back to frame coordinates.
+    """
+    b, h, w, _ = frames_bgr_u8.shape
+    spec = letterbox_spec(h, w, target)
+    x = normalize(bgr_to_rgb(frames_bgr_u8), dtype)
+    return letterbox(x, spec, dtype), spec
+
+
+def scale_boxes_to_frame(boxes_xyxy: Array, spec: LetterboxSpec) -> Array:
+    """Map xyxy boxes from letterboxed model-input pixels back to source-frame
+    pixels (the inverse of the letterbox; what Ultralytics' scale_boxes does),
+    clipped to the frame."""
+    shift = jnp.array([spec.pad_left, spec.pad_top, spec.pad_left, spec.pad_top],
+                      boxes_xyxy.dtype)
+    out = (boxes_xyxy - shift) / spec.scale
+    limit = jnp.array([spec.src_w, spec.src_h, spec.src_w, spec.src_h], out.dtype)
+    return jnp.clip(out, 0.0, limit)
+
+
+def frame_points_to_input(points_xy: Array, spec: LetterboxSpec) -> Array:
+    """Source-frame pixel coords -> letterboxed model-input coords."""
+    shift = jnp.array([spec.pad_left, spec.pad_top], points_xy.dtype)
+    return points_xy * spec.scale + shift

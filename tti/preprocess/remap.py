@@ -1,0 +1,118 @@
+"""Fused undistort + letterbox as one precomputed remap.
+
+The reference never undistorts whole frames (it undistorts individual points,
+reference: measurement.py:53-55); the TPU build's north star adds full-frame
+rectification ("camera undistortion/rectification ... becomes a fused remap
+kernel", BASELINE.json). Design:
+
+- The sampling map is a function of the calibration only, so it is computed
+  ONCE per calibration at the *letterboxed model-input* resolution: for each
+  destination pixel, un-letterbox to ideal undistorted pixel coordinates, apply
+  the forward distortion model, and record the source pixel to sample.
+  Undistortion, resize, and letterbox therefore collapse into a single bilinear
+  gather per frame — one HBM pass instead of three.
+- ``remap_bilinear`` is the pure-XLA implementation (4 gathers + lerp);
+  ``tti.kernels.remap`` provides the Pallas version under the same contract.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tti.calib.geometry import distort_points
+from tti.preprocess.letterbox import PAD_VALUE, LetterboxSpec
+
+Array = jax.Array
+
+
+def build_undistort_letterbox_map(
+    K: np.ndarray,
+    dist: np.ndarray,
+    spec: LetterboxSpec,
+    new_K: np.ndarray | None = None,
+) -> np.ndarray:
+    """Sampling map (dst_h, dst_w, 2) of float32 (x, y) source coordinates.
+
+    new_K: camera matrix of the undistorted view (defaults to K — same framing
+    as cv2.undistort's default).
+    """
+    new_K = K if new_K is None else new_K
+    ys, xs = np.meshgrid(
+        np.arange(spec.dst_h, dtype=np.float64),
+        np.arange(spec.dst_w, dtype=np.float64),
+        indexing="ij",
+    )
+    # Un-letterbox: destination pixel centers -> undistorted source pixels.
+    u = (xs - spec.pad_left + 0.5) / spec.scale - 0.5
+    v = (ys - spec.pad_top + 0.5) / spec.scale - 0.5
+    # Undistorted pixel -> ideal normalized coords under new_K.
+    x_n = (u - new_K[0, 2]) / new_K[0, 0]
+    y_n = (v - new_K[1, 2]) / new_K[1, 1]
+    xy = np.stack([x_n, y_n], axis=-1)
+    src = np.asarray(distort_points(jnp.asarray(xy), jnp.asarray(K), jnp.asarray(dist)))
+    # Destination pixels outside the letterbox content must sample out-of-bounds
+    # (-> pad value), including the case where the distorted lookup would wrap
+    # back into the frame.
+    content = (
+        (xs >= spec.pad_left)
+        & (xs < spec.pad_left + spec.new_w)
+        & (ys >= spec.pad_top)
+        & (ys < spec.pad_top + spec.new_h)
+    )
+    src = np.where(content[..., None], src, -1e6)
+    return src.astype(np.float32)
+
+
+def remap_bilinear(frames: Array, map_xy: Array, pad_value: float = PAD_VALUE / 255.0) -> Array:
+    """Bilinear remap: (B, H, W, C) frames sampled at map_xy (dh, dw, 2).
+
+    Out-of-bounds samples return ``pad_value``. Pure-XLA reference
+    implementation (4 flat gathers + lerp); semantics shared with the Pallas
+    kernel in tti.kernels.remap.
+    """
+    b, h, w, c = frames.shape
+    dtype = frames.dtype if jnp.issubdtype(frames.dtype, jnp.floating) else jnp.float32
+    frames = frames.astype(dtype)
+
+    mx, my = map_xy[..., 0], map_xy[..., 1]
+    x0 = jnp.floor(mx)
+    y0 = jnp.floor(my)
+    fx = (mx - x0).astype(dtype)[..., None]
+    fy = (my - y0).astype(dtype)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi: Array, xi: Array) -> tuple[Array, Array]:
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat_idx = (yc * w + xc).reshape(-1)
+        vals = jnp.take(frames.reshape(b, h * w, c), flat_idx, axis=1)
+        return vals.reshape(b, *map_xy.shape[:2], c), inb[..., None]
+
+    v00, m00 = gather(y0i, x0i)
+    v01, m01 = gather(y0i, x0i + 1)
+    v10, m10 = gather(y0i + 1, x0i)
+    v11, m11 = gather(y0i + 1, x0i + 1)
+
+    pad = jnp.asarray(pad_value, dtype)
+    v00 = jnp.where(m00, v00, pad)
+    v01 = jnp.where(m01, v01, pad)
+    v10 = jnp.where(m10, v10, pad)
+    v11 = jnp.where(m11, v11, pad)
+
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def undistort_letterbox_frames(
+    frames_bgr_u8: Array, map_xy: Array, dtype=jnp.float32
+) -> Array:
+    """uint8 BGR frames -> normalized RGB undistorted letterboxed frames, in one
+    remap pass (the fused production preprocess for calibrated streams)."""
+    x = frames_bgr_u8[..., ::-1].astype(dtype) / 255.0
+    return remap_bilinear(x, jnp.asarray(map_xy))

@@ -1,0 +1,212 @@
+"""Data-parallel training step (pjit/NamedSharding over a 'data' mesh).
+
+New capability vs the reference (which only consumes offline-trained .pt
+weights, reference: config.py:67): an in-framework trainer so stitch/fabric
+models are produced on TPU. Parallelism is pure DP — the correct strategy for a
+few-MB CNN (SURVEY.md §2 parallelism note): batch sharded over 'data', params
+replicated, XLA inserts the gradient all-reduce over ICI from the output
+shardings alone.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tti.model.yolo import REG_MAX, STRIDES, RawPredictions, YOLOv8Seg
+from tti.postprocess.decode import dfl_expectation, flatten_predictions, make_anchors
+from tti.train.assigner import task_aligned_assign
+from tti.train.losses import bbox_ciou, dfl_loss, seg_loss
+
+Array = jax.Array
+
+# YOLOv8 loss gains (box, cls, dfl, seg).
+BOX_GAIN = 7.5
+CLS_GAIN = 0.5
+DFL_GAIN = 1.5
+SEG_GAIN = 1.0  # applied on top of box gain in ultralytics; kept explicit here
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+@flax.struct.dataclass
+class Targets:
+    """Fixed-size per-image ground truth (padded with valid=False)."""
+
+    boxes: Array  # (B, G, 4) xyxy in model-input px
+    classes: Array  # (B, G) int32
+    masks: Array  # (B, G, Hm, Wm) binary at proto resolution
+    valid: Array  # (B, G) bool
+
+
+def create_train_state(
+    model: YOLOv8Seg, variables: dict, learning_rate: float = 1e-3, weight_decay: float = 5e-4
+) -> tuple[TrainState, optax.GradientTransformation]:
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+    return (
+        TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        ),
+        tx,
+    )
+
+
+def _loss_single(
+    raw_flat: tuple[Array, Array, Array],
+    protos: Array,
+    anchors: Array,
+    stride_per_anchor: Array,
+    targets_boxes: Array,
+    targets_classes: Array,
+    targets_masks: Array,
+    targets_valid: Array,
+    input_hw: tuple[int, int],
+) -> dict[str, Array]:
+    """Per-image YOLOv8-seg loss."""
+    box_logits, cls_logits, coefs = raw_flat  # (A, 64), (A, nc), (A, nm)
+    probs = jax.nn.sigmoid(cls_logits)
+
+    ltrb_grid = dfl_expectation(box_logits)  # (A, 4) grid units
+    ltrb_px = ltrb_grid * stride_per_anchor[:, None]
+    cx, cy = anchors[:, 0], anchors[:, 1]
+    pred_boxes = jnp.stack(
+        [cx - ltrb_px[:, 0], cy - ltrb_px[:, 1], cx + ltrb_px[:, 2], cy + ltrb_px[:, 3]],
+        axis=-1,
+    )
+
+    assign = task_aligned_assign(
+        pred_boxes, probs, anchors, targets_boxes, targets_classes, targets_valid
+    )
+    pos = assign["pos_mask"]
+    tscores = assign["target_scores"]
+    tboxes = assign["target_boxes"]
+
+    score_sum = jnp.maximum(jnp.sum(tscores), 1.0)
+
+    # Classification: BCE against soft aligned targets, over ALL anchors.
+    cls_bce = optax.sigmoid_binary_cross_entropy(cls_logits, tscores)
+    loss_cls = jnp.sum(cls_bce) / score_sum
+
+    # Box: (1 - CIoU) weighted by target score, over positives.
+    w = jnp.sum(tscores, axis=-1)  # (A,)
+    ciou = bbox_ciou(pred_boxes, tboxes)
+    loss_box = jnp.sum(jnp.where(pos, (1.0 - ciou) * w, 0.0)) / score_sum
+
+    # DFL: target ltrb in grid units.
+    t_ltrb = jnp.stack(
+        [
+            (cx - tboxes[:, 0]) / stride_per_anchor,
+            (cy - tboxes[:, 1]) / stride_per_anchor,
+            (tboxes[:, 2] - cx) / stride_per_anchor,
+            (tboxes[:, 3] - cy) / stride_per_anchor,
+        ],
+        axis=-1,
+    )
+    dfl = dfl_loss(box_logits.reshape(-1, 4, REG_MAX), t_ltrb)
+    loss_dfl = jnp.sum(jnp.where(pos, dfl * w, 0.0)) / score_sum
+
+    # Segmentation: per-positive mask BCE vs assigned GT mask.
+    hm, wm = protos.shape[0], protos.shape[1]
+    scale = jnp.array(
+        [wm / input_hw[1], hm / input_hw[0], wm / input_hw[1], hm / input_hw[0]], jnp.float32
+    )
+    loss_seg = seg_loss(
+        coefs, protos, targets_masks, targets_boxes * scale, assign["assigned_gt"], pos
+    )
+
+    return {
+        "cls": loss_cls,
+        "box": loss_box,
+        "dfl": loss_dfl,
+        "seg": loss_seg,
+    }
+
+
+def make_train_step(
+    model: YOLOv8Seg,
+    tx: optax.GradientTransformation,
+    input_hw: tuple[int, int],
+    mesh: Mesh | None = None,
+):
+    """Build the jitted DP train step.
+
+    With a mesh: donate state, shard the batch on 'data', replicate state via
+    out_shardings — XLA inserts the gradient all-reduce.
+    """
+
+    def loss_fn(params, batch_stats, images, targets: Targets):
+        raw, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        box_f, cls_f, coef_f, level_hw = flatten_predictions(raw)
+        anchors, stride_per_anchor = make_anchors(level_hw, STRIDES)
+
+        per_image = jax.vmap(
+            lambda bf, cf, mf, pr, tb, tc, tm, tv: _loss_single(
+                (bf, cf, mf), pr, anchors, stride_per_anchor, tb, tc, tm, tv, input_hw
+            )
+        )(
+            box_f, cls_f, coef_f, raw.protos,
+            targets.boxes, targets.classes, targets.masks, targets.valid,
+        )
+        losses = {k: jnp.mean(v) for k, v in per_image.items()}
+        total = (
+            BOX_GAIN * losses["box"]
+            + CLS_GAIN * losses["cls"]
+            + DFL_GAIN * losses["dfl"]
+            + BOX_GAIN * SEG_GAIN * losses["seg"]
+        )
+        return total, (losses, updates["batch_stats"])
+
+    def step_fn(state: TrainState, images: Array, targets: Targets):
+        (total, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, targets
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, {"total": total, **losses}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        # Pytree prefixes: state replicated, image batch + every target leaf
+        # sharded on 'data'.
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+    )
+
+
+# Backwards-compatible aliases used by __init__.
+train_step = make_train_step
