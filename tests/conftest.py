@@ -7,21 +7,23 @@ sharding paths are exercised via XLA's host-platform device trick
 
 import os
 
-# Hard-set: the session env may preset a TPU platform; tests always run on CPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE: in this environment the JAX_PLATFORMS / XLA_FLAGS env vars are ignored
+# (a site hook preselects the TPU plugin); only jax.config switches work.
+os.environ["JAX_PLATFORMS"] = "cpu"  # harmless; real switch is below
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)  # virtual 8-device mesh for sharding tests
+
 import numpy as np
 import pytest
 
 # Persistent compilation cache: repeat test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/tti_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-# XLA CPU's "default" matmul/conv precision is reduced (measured ~6e-3 abs error
-# on a single fp32 conv vs torch). Parity tests must compare true fp32.
+# Reduced "default" matmul/conv precision breaks parity comparisons (observed
+# ~6e-3 abs error on one fp32 conv at default); pin true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 

@@ -1,0 +1,60 @@
+"""Pallas kernel tests (interpreter mode on CPU) vs the dense XLA reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tti.kernels.maskstats import instance_mask_stats_pallas, instance_mask_stats_xla
+
+
+def _random_problem(rng, d=24, hm=40, wm=48, nm=32):
+    protos = rng.normal(size=(hm, wm, nm)).astype(np.float32)
+    coefs = rng.normal(size=(d, nm)).astype(np.float32) * 0.5
+    boxes = np.zeros((d, 4), np.float32)
+    x1 = rng.uniform(0, wm - 8, d)
+    y1 = rng.uniform(0, hm - 8, d)
+    boxes[:, 0] = x1
+    boxes[:, 1] = y1
+    boxes[:, 2] = x1 + rng.uniform(4, wm / 2, d)
+    boxes[:, 3] = y1 + rng.uniform(4, hm / 2, d)
+    valid = rng.uniform(size=d) > 0.2
+    return (jnp.asarray(protos), jnp.asarray(coefs), jnp.asarray(boxes),
+            jnp.asarray(valid))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maskstats_pallas_matches_xla(seed):
+    rng = np.random.default_rng(seed)
+    protos, coefs, boxes, valid = _random_problem(rng)
+    ref = instance_mask_stats_xla(protos, coefs, boxes, valid)
+    got = instance_mask_stats_pallas(protos, coefs, boxes, valid, interpret=True)
+    for key in ("m00", "m10", "m01", "col_any", "bottom"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
+            err_msg=f"{key} mismatch",
+        )
+
+
+def test_maskstats_invalid_rows_zeroed(rng):
+    protos, coefs, boxes, valid = _random_problem(rng)
+    valid = jnp.zeros_like(valid)
+    out = instance_mask_stats_pallas(protos, coefs, boxes, valid, interpret=True)
+    assert float(np.asarray(out["m00"]).sum()) == 0.0
+    assert np.all(np.asarray(out["bottom"]) == -1.0)
+
+
+def test_maskstats_crop_respected(rng):
+    """A strongly-positive everywhere mask must still be zero outside its box."""
+    hm = wm = 32
+    protos = jnp.ones((hm, wm, 32), jnp.float32)
+    coefs = jnp.ones((4, 32), jnp.float32)  # logits = 32 > 0 everywhere
+    boxes = jnp.asarray(np.array([[4, 8, 12, 16]] * 4, np.float32))
+    valid = jnp.ones(4, bool)
+    ref = instance_mask_stats_xla(protos, coefs, boxes, valid)
+    got = instance_mask_stats_pallas(protos, coefs, boxes, valid, interpret=True)
+    # Box is 8 wide x 8 tall -> m00 = 64; bottom row = 15.
+    assert float(np.asarray(got["m00"])[0]) == 64.0
+    assert float(np.asarray(got["bottom"])[0, 5]) == 15.0
+    assert float(np.asarray(got["bottom"])[0, 0]) == -1.0
+    np.testing.assert_allclose(np.asarray(got["col_any"]), np.asarray(ref["col_any"]))

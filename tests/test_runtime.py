@@ -1,0 +1,106 @@
+"""Runtime pipeline e2e + multi-device sharding tests (virtual 8-CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tti.calib.io import CalibrationData
+from tti.core.config import MeasureConfig, ModelConfig, RoiConfig
+from tti.model.yolo import create_model, init_variables
+from tti.parallel.mesh import create_mesh
+from tti.parallel.runtime import DualPipeline, InspectionPipeline
+
+
+IMGSZ = 64
+FRAME_HW = (48, 64)
+
+
+def _calib():
+    K = np.array([[900.0 * 64 / 1280, 0, 636.0 * 64 / 1280],
+                  [0, 884.0 * 48 / 960, 422.0 * 48 / 960],
+                  [0, 0, 1.0]])
+    dist = np.array([0.08, 0.05, -0.04, -0.005, -0.13])
+    return CalibrationData(
+        K=K, dist=dist,
+        rvec=np.array([-0.863, -0.392, -1.359]),
+        tvec=np.array([0.005, 0.036, 0.094]),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      max_detections=16)
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=IMGSZ)
+    return InspectionPipeline(
+        model_cfg=cfg,
+        variables=variables,
+        frame_hw=FRAME_HW,
+        calibration=_calib(),
+        measure_cfg=MeasureConfig(max_stitches=8),
+        roi=RoiConfig(enabled=True, x_min=1, x_max=63, y_min=1, y_max=47),
+        return_masks=True,
+        model=model,
+    )
+
+
+def test_pipeline_end_to_end_shapes(tiny_pipeline, rng):
+    frames = rng.integers(0, 255, size=(2, *FRAME_HW, 3), dtype=np.uint8)
+    outs = tiny_pipeline.process_batch(frames)
+    assert outs.boxes_frame.shape == (2, 16, 4)
+    assert outs.scores.shape == (2, 16)
+    assert outs.masks.shape[:2] == (2, 16)
+    assert outs.measurements is not None
+    # Random weights -> (almost surely) nothing above conf; measurement NaN but finite-shaped.
+    meas = outs.measurements
+    assert np.asarray(meas.n_stitches).shape == (2,)
+    # Frame-coord boxes stay inside the frame.
+    assert outs.boxes_frame[..., [0, 2]].max() <= FRAME_HW[1]
+    assert outs.boxes_frame[..., [1, 3]].max() <= FRAME_HW[0]
+
+
+def test_pipeline_undistorted_and_plain_agree_on_shapes(rng):
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      max_detections=8)
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=IMGSZ)
+    plain = InspectionPipeline(model_cfg=cfg, variables=variables, frame_hw=FRAME_HW,
+                               model=model)
+    frames = rng.integers(0, 255, size=(1, *FRAME_HW, 3), dtype=np.uint8)
+    outs = plain.process_batch(frames)
+    assert outs.measurements is None  # no calibration -> detection only
+    assert outs.boxes_frame.shape == (1, 8, 4)
+
+
+def test_dual_pipeline_shares_preprocess(tiny_pipeline, rng):
+    cfg2 = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                       max_detections=16, conf_thresh=0.5)
+    model2 = create_model("n", nc=2)
+    vars2 = init_variables(model2, image_size=IMGSZ, seed=7)
+    second = InspectionPipeline(model_cfg=cfg2, variables=vars2, frame_hw=FRAME_HW,
+                                calibration=_calib(), model=model2)
+    dual = DualPipeline(tiny_pipeline, second)
+    frames = rng.integers(0, 255, size=(1, *FRAME_HW, 3), dtype=np.uint8)
+    dets_a, dets_b = dual.process_batch(frames)
+    assert dets_a.boxes.shape == (1, 16, 4)
+    assert dets_b.boxes.shape == (1, 16, 4)
+
+
+def test_pipeline_sharded_over_mesh(rng):
+    """Batch sharded over all 8 virtual devices compiles + runs."""
+    assert jax.device_count() == 8
+    mesh = create_mesh()
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      max_detections=8)
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=IMGSZ)
+    pipeline = InspectionPipeline(model_cfg=cfg, variables=variables, frame_hw=FRAME_HW,
+                                  calibration=_calib(), mesh=mesh, model=model,
+                                  measure_cfg=MeasureConfig(max_stitches=8))
+    frames = rng.integers(0, 255, size=(8, *FRAME_HW, 3), dtype=np.uint8)
+    outs = pipeline.process_batch(frames)
+    assert outs.boxes_frame.shape == (8, 8, 4)
+    assert np.asarray(outs.measurements.n_stitches).shape == (8,)

@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: mask-prototype product -> per-instance statistics, fused.
+
+The measurement core needs, per detection, only four reductions over its
+instance mask (SURVEY.md §2 "Stitch statistics" / "Fabric envelope"):
+
+    m00, m10, m01           (image moments -> centroid)
+    per-column occupancy    (-> left/right extent, widths)
+    per-column bottom row   (-> fabric lower envelope)
+
+The XLA path (tti.postprocess.masks.assemble_masks + tti.measure.ops) first
+materializes all D instance masks at proto resolution — for D=200 at 240x240
+that is ~46 MB written and re-read per frame, pure HBM-bandwidth waste. This
+kernel fuses the chain
+
+    logits = coefs @ protos^T ;  mask = (logits > 0) & inside(box) ;  reduce
+
+tile-by-tile in VMEM: one MXU matmul per proto row block, VPU reductions into
+accumulators, nothing but (D,)/(D, W) statistics ever touching HBM.
+
+Grid: one program per proto row-tile; outputs are accumulated across the grid
+(zero-initialised at step 0). mask = logits > 0 is exactly sigmoid > 0.5.
+
+Performance shape: ONE MXU matmul per grid step — coefs (D, nm) against the
+whole row-tile flattened to (nm, ROW_TILE*W) — then static lane-slices peel the
+per-row (D, W) views for the VPU reductions. (A first version issued one
+matmul per proto row: 160 tiny ops/frame, 1.0 ms; this layout is ~10x fewer
+dispatches.)
+
+Contract shared with :func:`instance_mask_stats_xla` (the dense XLA reference
+used in tests and as the CPU fallback).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+ROW_TILE = 16  # proto rows per grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _stats_kernel(protos_ref, coefs_ref, boxes_ref, valid_ref,
+                  m_ref, colany_ref, bottom_ref):
+    """One grid step: ROW_TILE proto rows for all D instances.
+
+    protos_ref: (nm, ROW_TILE, W) VMEM   — pre-transposed prototypes
+    coefs_ref:  (D, nm) VMEM
+    boxes_ref:  (D, 4) VMEM              — xyxy on the proto grid
+    valid_ref:  (D, 1) VMEM (float32 0/1)
+    m_ref:      (D, 128) VMEM out        — [:,0]=m00 [:,1]=m10 [:,2]=m01 (lane-padded)
+    colany_ref: (D, W) VMEM out          — 0/1 column occupancy
+    bottom_ref: (D, W) VMEM out          — bottom-most row per column, -1 if none
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        m_ref[:] = jnp.zeros_like(m_ref)
+        colany_ref[:] = jnp.zeros_like(colany_ref)
+        bottom_ref[:] = jnp.full_like(bottom_ref, -1.0)
+
+    d = coefs_ref.shape[0]
+    w = colany_ref.shape[1]
+    nm = coefs_ref.shape[1]
+    coefs = coefs_ref[:]  # (D, nm)
+    valid = valid_ref[:]  # (D, 1)
+    x1 = boxes_ref[:, 0:1]
+    y1 = boxes_ref[:, 1:2]
+    x2 = boxes_ref[:, 2:3]
+    y2 = boxes_ref[:, 3:4]
+    # Mosaic iota must be integer-typed; cast to f32 for the weighted sums.
+    xs = jax.lax.broadcasted_iota(jnp.int32, (d, w), 1).astype(jnp.float32)
+
+    # One MXU matmul for the whole tile: (D, nm) @ (nm, ROW_TILE*W).
+    proto_flat = protos_ref[:].reshape(nm, ROW_TILE * w)
+    logits_flat = jnp.dot(coefs, proto_flat, preferred_element_type=jnp.float32)
+
+    row0 = step * ROW_TILE
+    for t in range(ROW_TILE):
+        yf = jnp.float32(row0 + t)
+        logits = logits_flat[:, t * w : (t + 1) * w]  # static lane slice (D, W)
+        inside = (xs >= x1) & (xs < x2) & (yf >= y1) & (yf < y2)
+        mask = jnp.where((logits > 0.0) & inside, valid, 0.0)  # (D, W) 0/1
+
+        m00 = jnp.sum(mask, axis=1, keepdims=True)
+        m10 = jnp.sum(mask * xs, axis=1, keepdims=True)
+        m_ref[:, 0:1] += m00
+        m_ref[:, 1:2] += m10
+        m_ref[:, 2:3] += yf * m00  # m01: every pixel in this row has y
+        colany_ref[:] = jnp.maximum(colany_ref[:], mask)
+        bottom_ref[:] = jnp.maximum(bottom_ref[:], jnp.where(mask > 0, yf, -1.0))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def instance_mask_stats_pallas(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array, interpret: bool = False
+) -> dict[str, Array]:
+    """Fused statistics for all instances.
+
+    protos (Hm, Wm, nm) f32; coefs (D, nm); boxes_grid (D, 4) xyxy on the proto
+    grid; valid (D,) bool. Returns dict with m00/m10/m01 (D,), col_any (D, Wm)
+    and bottom (D, Wm) (-1 where the column is empty). D and Wm are padded
+    internally to lane multiples.
+    """
+    hm, wm, nm = protos.shape
+    d = coefs.shape[0]
+    d_pad = _round_up(max(d, 8), 8)
+    w_pad = _round_up(wm, 128)
+    h_pad = _round_up(hm, ROW_TILE)
+
+    protos_t = jnp.transpose(protos, (2, 0, 1)).astype(jnp.float32)  # (nm, Hm, Wm)
+    protos_t = jnp.pad(protos_t, ((0, 0), (0, h_pad - hm), (0, w_pad - wm)))
+    coefs_p = jnp.pad(coefs.astype(jnp.float32), ((0, d_pad - d), (0, 0)))
+    boxes_p = jnp.pad(boxes_grid.astype(jnp.float32), ((0, d_pad - d), (0, 0)))
+    valid_p = jnp.pad(valid.astype(jnp.float32), (0, d_pad - d))[:, None]
+
+    grid = h_pad // ROW_TILE
+    m, col_any, bottom = pl.pallas_call(
+        _stats_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (nm, ROW_TILE, w_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((d_pad, nm), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((d_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, w_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, w_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, w_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(protos_t, coefs_p, boxes_p, valid_p)
+
+    return {
+        "m00": m[:d, 0],
+        "m10": m[:d, 1],
+        "m01": m[:d, 2],
+        "col_any": col_any[:d, :wm],
+        "bottom": bottom[:d, :wm],
+    }
+
+
+def instance_mask_stats_xla(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """Dense XLA reference with the identical contract (materializes the
+    (D, Hm, Wm) mask tensor; used on CPU and as the test oracle)."""
+    hm, wm, _ = protos.shape
+    logits = jnp.einsum(
+        "dc,hwc->dhw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ys = jnp.arange(hm, dtype=jnp.float32).reshape(1, hm, 1)
+    xs = jnp.arange(wm, dtype=jnp.float32).reshape(1, 1, wm)
+    inside = (
+        (xs >= boxes_grid[:, 0, None, None]) & (xs < boxes_grid[:, 2, None, None])
+        & (ys >= boxes_grid[:, 1, None, None]) & (ys < boxes_grid[:, 3, None, None])
+    )
+    mask = ((logits > 0.0) & inside & valid[:, None, None]).astype(jnp.float32)
+    m00 = jnp.sum(mask, axis=(1, 2))
+    m10 = jnp.sum(mask * xs, axis=(1, 2))
+    m01 = jnp.sum(mask * ys, axis=(1, 2))
+    col_any = jnp.max(mask, axis=1)
+    bottom = jnp.max(jnp.where(mask > 0, ys, -1.0), axis=1)
+    return {"m00": m00, "m10": m10, "m01": m01, "col_any": col_any, "bottom": bottom}
+
+
+def instance_mask_stats(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """Backend dispatch: Pallas on TPU, dense XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return instance_mask_stats_pallas(protos, coefs, boxes_grid, valid)
+    return instance_mask_stats_xla(protos, coefs, boxes_grid, valid)

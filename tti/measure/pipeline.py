@@ -36,15 +36,8 @@ import jax.numpy as jnp
 
 from tti.calib.geometry import pixels_to_plane_mm
 from tti.core.config import MeasureConfig
-from tti.measure.ops import (
-    fabric_lower_envelope,
-    kmeans_1d_two_clusters,
-    masked_mean,
-    masked_median,
-    stitch_stats,
-)
+from tti.measure.ops import kmeans_1d_two_clusters, masked_mean, masked_median
 from tti.postprocess.decode import Detections
-from tti.postprocess.masks import assemble_masks
 from tti.preprocess.letterbox import LetterboxSpec
 
 Array = jax.Array
@@ -182,43 +175,59 @@ def prepare_frame_inputs(
     """Single-frame glue: split classes, gate by ROI, build stitch statistics
     and the fabric envelope. All shapes static.
 
+    Statistics come from the fused mask-proto reduction
+    (tti.kernels.maskstats: Pallas on TPU, dense XLA elsewhere) — per-instance
+    masks are never materialized on the measurement path.
+
     dets: single-frame Detections (D rows); protos (Hm, Wm, nm).
     Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool).
     """
+    from tti.kernels.maskstats import instance_mask_stats
+
     input_hw = (spec.dst_h, spec.dst_w)
+    wm = protos.shape[1]
     boxes_frame = _boxes_to_frame(dets.boxes, spec)
     in_roi = roi_center_gate(boxes_frame, roi_bounds) & dets.valid
 
     is_stitch = in_roi & (dets.classes == stitch_class_id)
     is_fabric = in_roi & (dets.classes == fabric_class_id)
 
-    # Instance masks at proto resolution (cropped to boxes, binarized) — one
-    # einsum for all detections; measurement reduces from this grid directly.
-    masks = assemble_masks(protos, dets.coefs, dets.boxes, dets.valid, input_hw)
+    scale_vec = jnp.array(
+        [wm / input_hw[1], protos.shape[0] / input_hw[0],
+         wm / input_hw[1], protos.shape[0] / input_hw[0]],
+        jnp.float32,
+    )
+    boxes_grid = dets.boxes * scale_vec
+    stats = instance_mask_stats(protos, dets.coefs, boxes_grid, in_roi)
 
-    fabric_union = jnp.any(jnp.where(is_fabric[:, None, None], masks > 0, False), axis=0)
-    fabric_any = jnp.any(fabric_union)
-    envelope = fabric_lower_envelope(fabric_union)
+    # Fabric: union lower envelope = per-column max of instance bottom rows
+    # (bottom is -1 where a column is empty -> sentinel survives the max).
+    fabric_bottom = jnp.max(
+        jnp.where(is_fabric[:, None], stats["bottom"], -1.0), axis=0
+    )
+    envelope = fabric_bottom.astype(jnp.int32)
+    fabric_any = jnp.any(is_fabric & (stats["m00"] > 0))
 
-    # Compact the stitch rows to a fixed max_stitches budget (top rows by score
-    # order are already sorted by NMS; stable top_k on the mask keeps that).
+    # Compact the stitch rows to a fixed max_stitches budget (NMS emits rows
+    # score-sorted; stable top_k keeps that order).
     stitch_rank = jnp.where(is_stitch, dets.scores, -1.0)
     _, order = jax.lax.top_k(stitch_rank, min(max_stitches, stitch_rank.shape[0]))
     sel_valid = is_stitch[order]
 
-    sel_masks = masks[order]
-    # Stats on the *mask* grid; bbox fallback needs mask-grid boxes.
-    scale_vec = jnp.array(
-        [
-            protos.shape[1] / input_hw[1],
-            protos.shape[0] / input_hw[0],
-            protos.shape[1] / input_hw[1],
-            protos.shape[0] / input_hw[0],
-        ],
-        jnp.float32,
-    )
-    boxes_mask_grid = dets.boxes[order] * scale_vec
-    cx_m, cy_m, left_m, right_m, _ = stitch_stats(sel_masks, boxes_mask_grid, sel_valid)
+    m00 = stats["m00"][order]
+    has_mask = (m00 > 1e-6) & sel_valid
+    cx_m = stats["m10"][order] / jnp.maximum(m00, 1e-6)
+    cy_m = stats["m01"][order] / jnp.maximum(m00, 1e-6)
+    col_any = stats["col_any"][order] > 0  # (S, Wm)
+    left_m = jnp.argmax(col_any, axis=-1).astype(jnp.float32)
+    right_m = (wm - 1 - jnp.argmax(col_any[:, ::-1], axis=-1)).astype(jnp.float32)
+
+    # Bbox fallback for empty masks (reference: measurement.py:308-323).
+    bsel = boxes_grid[order]
+    cx_m = jnp.where(has_mask, cx_m, 0.5 * (bsel[:, 0] + bsel[:, 2]))
+    cy_m = jnp.where(has_mask, cy_m, 0.5 * (bsel[:, 1] + bsel[:, 3]))
+    left_m = jnp.where(has_mask, left_m, bsel[:, 0])
+    right_m = jnp.where(has_mask, right_m, bsel[:, 2])
 
     stitches = StitchSet(
         cx=_mask_center_to_frame(cx_m, spec.pad_left, spec.scale),

@@ -70,15 +70,29 @@ def _nms_single(
         iou = jnp.where(same_class, iou, 0.0)
     overlaps = iou > iou_thresh
 
-    # Greedy sweep in score order (candidates are already sorted descending).
-    def step(suppressed: Array, i: Array) -> tuple[Array, Array]:
-        keep_i = cand_ok[i] & ~suppressed[i]
-        suppressed = suppressed | (keep_i & overlaps[i])
-        # A box never suppresses itself.
-        suppressed = suppressed.at[i].set(~keep_i & suppressed[i])
-        return suppressed, keep_i
+    # Exact greedy NMS as a fixed-point sweep instead of a K-step sequential
+    # scan: keep_i <- ok_i & no higher-ranked kept box overlaps i. The greedy
+    # keep-set is the unique fixed point (induction on rank: position 0 is
+    # correct after one sweep, position i after <= i), and real detection sets
+    # converge in a handful of sweeps (suppression chains are short), so a
+    # while_loop of O(K^2) vectorized sweeps beats K tiny sequential steps on
+    # TPU by an order of magnitude.
+    tri = jnp.tril(jnp.ones((k, k), bool), k=-1)  # tri[i, j] = (j < i)
+    blocked_by = overlaps & tri  # blocked_by[i, j]: j outranks i and overlaps
 
-    _, keep = jax.lax.scan(step, jnp.zeros((k,), bool), jnp.arange(k))
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
+
+    def sweep(state):
+        keep, _, it = state
+        blocked = jnp.any(blocked_by & keep[None, :], axis=1)
+        return cand_ok & ~blocked, keep, it + 1
+
+    keep0 = cand_ok
+    keep, _, _ = jax.lax.while_loop(
+        cond, sweep, (keep0, jnp.zeros((k,), bool), jnp.asarray(0))
+    )
 
     k_out = min(max_det, k)
     out_scores, order = jax.lax.top_k(jnp.where(keep, top_scores, -1.0), k_out)
