@@ -1,5 +1,6 @@
 """Training stack tests: assigner properties, losses, one DP train step."""
 
+import os
 import numpy as np
 import pytest
 
@@ -106,3 +107,18 @@ def test_train_step_decreases_loss_dp_mesh(rng):
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert int(np.asarray(state.step)) == 5
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from tti.train.checkpoint import latest_checkpoint, restore_train_state, save_train_state
+
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=32)
+    state, _ = create_train_state(model, variables)
+    path = save_train_state(state, str(tmp_path / "ckpts"), step=0)
+    found = latest_checkpoint(str(tmp_path / "ckpts"))
+    assert found is not None and os.path.basename(found).startswith("step_0")
+    restored = restore_train_state(path, state)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -83,6 +83,90 @@ def annotate_frame(
     return out
 
 
+def overlay_masks(
+    frame_bgr: np.ndarray,
+    masks_proto: np.ndarray,
+    classes: np.ndarray,
+    valid: np.ndarray,
+    spec,
+    alpha: float = 0.30,
+    palette: tuple = ((0, 200, 255), (255, 0, 255), (0, 255, 0), (255, 128, 0)),
+) -> np.ndarray:
+    """Blend instance masks over the frame (the diagnostic viewer's 0.30/0.70
+    addWeighted overlay with a per-class palette — SURVEY.md §2 annotation row,
+    reference: Utils/check_model.py:155-165,255). masks_proto: (D, Hm, Wm)."""
+    if not _HAS_CV2:
+        return frame_bgr
+    out = frame_bgr.copy()
+    h, w = out.shape[:2]
+    color_layer = np.zeros_like(out)
+    any_mask = np.zeros((h, w), bool)
+    # Content region of the letterboxed input in frame coords: whole frame.
+    for mask, cls, ok in zip(masks_proto, classes, valid):
+        if not ok:
+            continue
+        # proto grid -> input px (x4 NEAREST) -> frame crop of content region.
+        m_input = np.repeat(np.repeat(mask > 0, 4, axis=0), 4, axis=1)
+        content = m_input[
+            spec.pad_top : spec.pad_top + spec.new_h,
+            spec.pad_left : spec.pad_left + spec.new_w,
+        ]
+        m_frame = cv2.resize(
+            content.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
+        color_layer[m_frame] = palette[int(cls) % len(palette)]
+        any_mask |= m_frame
+    out[any_mask] = (
+        alpha * color_layer[any_mask] + (1 - alpha) * out[any_mask]
+    ).astype(np.uint8)
+    return out
+
+
+def draw_measurement_geometry(
+    frame_bgr: np.ndarray,
+    stitches,
+    envelope_frame_y,
+    index: int | None = None,
+) -> np.ndarray:
+    """Width markers + centroids + edge-distance lines per stitch
+    (reference: measurement.py:358-368,460-462). ``stitches`` is a StitchSet
+    pytree of numpy-able arrays; ``envelope_frame_y`` maps cx -> envelope y (or
+    None to skip edge lines)."""
+    if not _HAS_CV2:
+        return frame_bgr
+    out = frame_bgr
+    sel = (lambda a: np.asarray(a)[index]) if index is not None else np.asarray
+    cx, cy = sel(stitches.cx), sel(stitches.cy)
+    left, right, valid = sel(stitches.left), sel(stitches.right), sel(stitches.valid)
+    for i in range(len(cx)):
+        if not valid[i]:
+            continue
+        lx, rx, y = int(round(left[i])), int(round(right[i])), int(round(cy[i]))
+        cxi = int(round(cx[i]))
+        cv2.circle(out, (lx, y), 3, (200, 200, 0), -1)
+        cv2.circle(out, (rx, y), 3, (200, 200, 0), -1)
+        cv2.line(out, (lx, y), (rx, y), (200, 200, 0), 1)
+        cv2.circle(out, (cxi, y), 3, (200, 0, 0), -1)
+        if envelope_frame_y is not None:
+            ey = envelope_frame_y(cx[i])
+            if ey is not None:
+                cv2.line(out, (cxi, int(round(ey))), (cxi, y), (0, 255, 0), 1)
+                cv2.circle(out, (cxi, int(round(ey))), 2, (255, 0, 255), -1)
+    return out
+
+
+def draw_fabric_contours(frame_bgr: np.ndarray, fabric_mask_frame: np.ndarray) -> np.ndarray:
+    """External contours of the fabric union (reference: measurement.py:496-499)."""
+    if not _HAS_CV2:
+        return frame_bgr
+    contours, _ = cv2.findContours(
+        (fabric_mask_frame > 0).astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    if contours:
+        cv2.drawContours(frame_bgr, contours, -1, (0, 0, 255), 2)
+    return frame_bgr
+
+
 def envelope_to_polyline(envelope_mask_grid: np.ndarray, spec) -> np.ndarray:
     """(Wm,) envelope with -1 sentinels -> (K, 2) frame-space polyline points."""
     from tti.measure.pipeline import PROTO_STRIDE

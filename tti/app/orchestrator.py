@@ -271,13 +271,22 @@ class Orchestrator:
             )
         else:
             hud.append(f"Stitch count: {result['stitch_count_hw']} (waiting for measurements)")
+        envelope_xy = None
+        if outs.envelope is not None:
+            envelope_xy = envelope_to_polyline(outs.envelope[0], self.pipeline.spec)
         annotated = annotate_frame(
             frame,
             outs.boxes_frame[0], outs.classes[0], outs.valid[0],
             self.config.model.stitch_class_id, self.config.model.fabric_class_id,
+            envelope_frame_xy=envelope_xy,
             roi_bounds=self.pipeline.roi_bounds,
             hud_lines=hud,
         )
+        if outs.stitches is not None:
+            from tti.app.annotate import draw_measurement_geometry
+
+            annotated = draw_measurement_geometry(annotated, outs.stitches,
+                                                  None, index=0)
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
         path = os.path.join(self.session_dir, f"frame_{self.frame_count:05d}_{ts}.jpg")
         cv2.imwrite(path, annotated)

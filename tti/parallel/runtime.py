@@ -57,6 +57,8 @@ class PipelineOutputs:
     valid: np.ndarray
     masks: np.ndarray | None  # (B, D, Hm, Wm) proto-res binary, for rendering
     measurements: Any | None  # FrameMeasurement pytree of (B,) arrays, or None
+    stitches: Any | None = None  # StitchSet pytree of (B, S) arrays (frame px)
+    envelope: np.ndarray | None = None  # (B, Wm) int32 mask-grid envelope
 
 
 class InspectionPipeline:
@@ -143,18 +145,21 @@ class InspectionPipeline:
 
             outs: dict[str, Any] = {"dets": dets}
 
-            if measure_enabled or return_masks:
+            if measure_enabled:
                 def per_frame(d: Detections, protos):
                     stitches, envelope, fabric_any = prepare_frame_inputs(
                         d, protos, spec, mcfg.stitch_class_id, mcfg.fabric_class_id,
                         roi_bounds, cfg.max_stitches,
                     )
-                    meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg) \
-                        if measure_enabled else None
-                    return meas
+                    meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg)
+                    return meas, stitches, envelope
 
-                if measure_enabled:
-                    outs["measurements"] = jax.vmap(per_frame)(dets, raw.protos)
+                meas, stitches, envelope = jax.vmap(per_frame)(dets, raw.protos)
+                outs["measurements"] = meas
+                # Per-stitch geometry + envelope for host-side rendering
+                # (reference overlays: measurement.py:292-296,358-368,460-462).
+                outs["stitches"] = stitches
+                outs["envelope"] = envelope
 
             if return_masks:
                 from tti.postprocess.masks import assemble_masks
@@ -195,6 +200,8 @@ class InspectionPipeline:
             valid=np.asarray(dets.valid),
             masks=np.asarray(outs["masks"]) if "masks" in outs else None,
             measurements=meas,
+            stitches=outs.get("stitches"),
+            envelope=np.asarray(outs["envelope"]) if "envelope" in outs else None,
         )
 
     def process_batch_async(self, frames_bgr_u8: np.ndarray):
