@@ -92,3 +92,21 @@ def test_undistort_letterbox_frames_dtype(rng, ref_intrinsics):
     assert out.shape == (2, 64, 64, 3)
     assert out.dtype == np.float32
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_packed_remap_matches_f32_remap(ref_intrinsics, rng):
+    """Packed-u32 remap (production fast path) vs the f32 reference remap:
+    identical up to 8-bit quantization, including border/pad behavior."""
+    from tti.preprocess.remap import PackedRemap, build_small_undistort_map
+
+    K, dist = ref_intrinsics
+    h, w = 96, 128
+    Ks = K.copy(); Ks[0] *= w / 1280; Ks[1] *= h / 960
+    spec = letterbox_spec(h, w, 64)
+    small_map = build_small_undistort_map(Ks, dist, spec)
+
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(remap_bilinear(jnp.asarray(x), jnp.asarray(small_map)))
+    packed = PackedRemap(small_map, (64, 64))
+    got = np.asarray(packed(jnp.asarray(x)))
+    assert np.abs(got - ref).max() < 3.0 / 255.0

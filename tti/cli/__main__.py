@@ -193,6 +193,51 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_tune_camera(args) -> int:
+    """Interactive exposure/brightness/contrast tuning
+    (reference: Testing/test1.py trackbar tool). Headless mode (--set) applies
+    values without a GUI."""
+    import cv2
+
+    from tti.app.sources import OpenCVCameraSource
+
+    cfg = load_config(validate=False)
+    source = OpenCVCameraSource(cfg.camera)
+    cap = source.cap
+    props = {
+        "exposure": cv2.CAP_PROP_EXPOSURE,
+        "brightness": cv2.CAP_PROP_BRIGHTNESS,
+        "contrast": cv2.CAP_PROP_CONTRAST,
+        "gain": cv2.CAP_PROP_GAIN,
+    }
+    try:
+        if args.set:
+            for assignment in args.set:
+                key, _, value = assignment.partition("=")
+                if key not in props:
+                    print(f"unknown property {key!r}; choose from {sorted(props)}")
+                    return 1
+                cap.set(props[key], float(value))
+                print(f"{key} = {cap.get(props[key])}")
+            return 0
+        window = "tti tune-camera (q to quit)"
+        cv2.namedWindow(window)
+        for name, prop in props.items():
+            current = int(max(0, cap.get(prop)))
+            cv2.createTrackbar(name, window, current, 255,
+                               lambda v, p=prop: cap.set(p, float(v)))
+        while True:
+            ok, frame = source.read()
+            if ok:
+                cv2.imshow(window, frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+        cv2.destroyAllWindows()
+        return 0
+    finally:
+        source.release()
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -233,6 +278,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pt", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("tune-camera", help="exposure/brightness/contrast tuning")
+    p.add_argument("--set", nargs="*", metavar="PROP=VALUE",
+                   help="headless: apply values and exit (e.g. exposure=3.5)")
+    p.set_defaults(func=cmd_tune_camera)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(func=cmd_bench)

@@ -42,7 +42,7 @@ from tti.parallel.mesh import batch_sharding, create_mesh
 from tti.postprocess.decode import Detections, decode_predictions
 from tti.postprocess.nms import batched_nms
 from tti.preprocess.letterbox import LetterboxSpec, letterbox_spec, preprocess_frames
-from tti.preprocess.remap import build_small_undistort_map, letterbox_then_undistort
+from tti.preprocess.remap import PackedRemap, build_small_undistort_map, letterbox_then_undistort
 
 Array = jax.Array
 
@@ -106,12 +106,13 @@ class InspectionPipeline:
         if calibration is not None:
             self.cam = CameraParams.from_calibration(calibration)
             if undistort:
-                # Two-stage preprocess: XLA letterbox resize then small-operand
-                # undistort remap (3.3x faster than a fused 1080p-operand remap;
-                # see tti.preprocess.remap.build_small_undistort_map).
-                self.remap_xy = jnp.asarray(
-                    build_small_undistort_map(calibration.K, calibration.dist, self.spec)
+                # Two-stage preprocess: XLA letterbox resize then a packed-u32
+                # small-operand undistort remap (see tti.preprocess.remap for
+                # the measured rationale of both choices).
+                small_map = build_small_undistort_map(
+                    calibration.K, calibration.dist, self.spec
                 )
+                self.remap_xy = PackedRemap(small_map, (self.spec.dst_h, self.spec.dst_w))
 
         self._step = self._build_step()
 
