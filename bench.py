@@ -29,7 +29,7 @@ def main() -> None:
     from tti.parallel.runtime import InspectionPipeline
 
     frame_h, frame_w = 1080, 1920
-    batch = 16
+    batch = int(__import__("os").environ.get("TTI_BENCH_BATCH", "16"))
     imgsz = 640
 
     # Deployment intrinsics scaled to the 1080p sensor grid + real extrinsics.
@@ -66,17 +66,27 @@ def main() -> None:
     frames = rng.integers(0, 255, size=(batch, frame_h, frame_w, 3), dtype=np.uint8)
     frames_dev = jnp.asarray(frames)
 
-    # Warmup / compile.
-    out = pipeline._step(pipeline.variables, frames_dev)
-    jax.block_until_ready(out)
+    def sync(outs) -> float:
+        """True completion barrier: fetch a scalar derived from the outputs.
+        (block_until_ready alone is not a reliable barrier on relayed/remote
+        device transports.)"""
+        return float(jnp.sum(outs["dets"].scores))
 
-    # Throughput: repeated full-pipeline steps on resident frames.
+    # Warmup / compile (includes one scalar round-trip).
+    out = pipeline._step(pipeline.variables, frames_dev)
+    sync(out)
+    # Estimate the fixed scalar-fetch round-trip to subtract from the loop.
+    t0 = time.perf_counter()
+    sync(out)
+    roundtrip = time.perf_counter() - t0
+
+    # Throughput: repeated full-pipeline steps on resident frames, one barrier.
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipeline._step(pipeline.variables, frames_dev)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    sync(out)
+    elapsed = max(time.perf_counter() - t0 - roundtrip, 1e-9)
     fps = batch * iters / elapsed
 
     # p50 single-frame latency at 640px seg (secondary metric, printed to stderr).
@@ -84,8 +94,8 @@ def main() -> None:
     lats = []
     for _ in range(10):
         t = time.perf_counter()
-        jax.block_until_ready(pipeline._step(pipeline.variables, lat_frames))
-        lats.append(time.perf_counter() - t)
+        sync(pipeline._step(pipeline.variables, lat_frames))
+        lats.append(max(time.perf_counter() - t - roundtrip, 0.0))
     p50_ms = 1e3 * float(np.median(lats))
 
     import sys

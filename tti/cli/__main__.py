@@ -238,6 +238,47 @@ def cmd_tune_camera(args) -> int:
         source.release()
 
 
+def cmd_train(args) -> int:
+    """Train a stitch/fabric segmentation model on a YOLO-format dataset
+    (data-parallel over all local devices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tti.model.yolo import create_model, init_variables
+    from tti.parallel.mesh import create_mesh, replicate, shard_batch
+    from tti.train.checkpoint import save_train_state
+    from tti.train.data import batches, discover_dataset
+    from tti.train.step import create_train_state, make_train_step
+
+    samples = discover_dataset(args.images)
+    model = create_model(args.variant, nc=args.num_classes)
+    variables = init_variables(model, image_size=args.imgsz)
+    state, tx = create_train_state(model, variables, learning_rate=args.lr)
+    mesh = create_mesh() if jax.device_count() > 1 else None
+    step = make_train_step(model, tx, (args.imgsz, args.imgsz), mesh=mesh)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    seen = 0
+    for imgs, targets in batches(samples, args.batch_size, args.imgsz,
+                                 max_gt=args.max_gt, epochs=args.epochs):
+        x = jnp.asarray(imgs)
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+            targets = shard_batch(mesh, targets)
+        state, metrics = step(state, x, targets)
+        seen += 1
+        if seen % args.log_every == 0:
+            vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            print(f"step {seen}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+        if args.checkpoint_every and seen % args.checkpoint_every == 0:
+            save_train_state(state, args.out, step=seen)
+    path = save_train_state(state, args.out, step=seen)
+    print("final checkpoint:", path)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -278,6 +319,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pt", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("train", help="train a segmentation model (YOLO-format data)")
+    p.add_argument("--images", required=True, help="dataset images directory")
+    p.add_argument("--out", default="checkpoints")
+    p.add_argument("--variant", default="n")
+    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max-gt", type=int, default=32)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("tune-camera", help="exposure/brightness/contrast tuning")
     p.add_argument("--set", nargs="*", metavar="PROP=VALUE",
