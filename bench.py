@@ -81,7 +81,7 @@ def main() -> None:
     roundtrip = time.perf_counter() - t0
 
     # Throughput: repeated full-pipeline steps on resident frames, one barrier.
-    iters = 20
+    iters = int(__import__("os").environ.get("TTI_BENCH_ITERS", "50"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipeline._step(pipeline.variables, frames_dev)
@@ -98,12 +98,34 @@ def main() -> None:
         lats.append(max(time.perf_counter() - t - roundtrip, 0.0))
     p50_ms = 1e3 * float(np.median(lats))
 
+    import os
     import sys
 
     print(
         f"batch={batch} iters={iters} elapsed={elapsed:.3f}s p50_latency_1frame={p50_ms:.2f}ms",
         file=sys.stderr,
     )
+
+    if os.environ.get("TTI_BENCH_CONFIGS") == "all":
+        # BASELINE.json config 4: dual-model pipeline sharing preprocessed frames.
+        from tti.model.yolo import create_model
+        from tti.parallel.runtime import DualPipeline, InspectionPipeline as IP
+
+        model_b = create_model("n", nc=2, dtype=jnp.bfloat16)
+        second = IP(
+            model_cfg=model_cfg, variables=init_variables(model_b, image_size=imgsz, seed=7),
+            frame_hw=(frame_h, frame_w), calibration=calib, model=model_b,
+        )
+        dual = DualPipeline(pipeline, second)
+        outs = dual.process_batch(frames)
+        float(jnp.sum(outs[0].scores) + jnp.sum(outs[1].scores))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs = dual.process_batch(frames)
+        float(jnp.sum(outs[0].scores) + jnp.sum(outs[1].scores))
+        dual_fps = batch * iters / max(time.perf_counter() - t0 - roundtrip, 1e-9)
+        print(f"config4 dual-model: {dual_fps:.1f} frames/s (both models per frame)",
+              file=sys.stderr)
     print(
         json.dumps(
             {

@@ -70,3 +70,53 @@ def test_bf16_forward_close_to_fp32(rng):
     err = np.abs(np.asarray(pbf.cls[0], np.float32) - np.asarray(p32.cls[0]))
     scale = np.abs(np.asarray(p32.cls[0])).mean() + 1.0
     assert err.mean() / scale < 0.05
+
+
+def test_mask_assembly_iou_parity(rng):
+    """BASELINE headline: assembled instance masks match the torch pipeline at
+    IoU >= 0.999. Same converted weights, same input, masks assembled from each
+    framework's own protos+coefficients with identical crop/threshold rules."""
+    import torch.nn.functional as F
+
+    from tti.postprocess.masks import assemble_masks, mask_iou
+
+    tmodel, jmodel, variables = _build_pair("n")
+    x = rng.normal(size=(1, 3, 128, 128)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        _, _, tcoef, tprotos = tmodel(torch.from_numpy(x))
+    preds = jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    # Take coefficient vectors from a handful of anchor positions at level 0
+    # and a synthetic box per instance (box choice is shared, so this isolates
+    # the proto product + sigmoid + crop + threshold chain).
+    n = 6
+    hm = wm = 32  # protos at input/4
+    coords = [(1 + 2 * i, 2 + 2 * i) for i in range(n)]  # level-0 grid is 16x16
+    tco = torch.stack([tcoef[0][0, :, r, c] for r, c in coords])  # (n, 32)
+    jco = jnp.stack([preds.mcoef[0][0, r, c] for r, c in coords])
+    boxes = np.array([[8 + 2 * i, 8, 100 - 3 * i, 120] for i in range(n)], np.float32)
+    valid = np.ones(n, bool)
+
+    # torch reference mask product (sigmoid(coef @ protos) cropped, > 0.5).
+    tp = tprotos[0].reshape(32, -1)  # (32, hm*wm)
+    tmask = torch.sigmoid(tco @ tp).reshape(n, hm, wm).numpy()
+    scale = np.array([wm / 128, hm / 128, wm / 128, hm / 128], np.float32)
+    bg = boxes * scale
+    ys, xs = np.mgrid[0:hm, 0:wm]
+    inside = (
+        (xs[None] >= bg[:, 0, None, None]) & (xs[None] < bg[:, 2, None, None])
+        & (ys[None] >= bg[:, 1, None, None]) & (ys[None] < bg[:, 3, None, None])
+    )
+    tmask = (tmask > 0.5) & inside
+
+    jmask = np.asarray(
+        assemble_masks(preds.protos[0], jco, jnp.asarray(boxes), jnp.asarray(valid),
+                       (128, 128))
+    ) > 0.5
+
+    for i in range(n):
+        if tmask[i].sum() == 0 and jmask[i].sum() == 0:
+            continue
+        iou = float(mask_iou(jnp.asarray(jmask[i]), jnp.asarray(tmask[i])))
+        assert iou >= 0.999, f"instance {i}: mask IoU {iou}"

@@ -124,6 +124,8 @@ def cmd_check_model(args) -> int:
         frame_hw = (cfg.camera.height, cfg.camera.width)
     pipeline = _load_pipeline(cfg, frame_hw, return_masks=True)
 
+    from tti.app.annotate import overlay_masks
+
     os.makedirs(args.out, exist_ok=True)
     count = 0
     while count < args.max_frames:
@@ -132,8 +134,13 @@ def cmd_check_model(args) -> int:
             break
         outs = pipeline.process_batch(frame[None])
         n = int(outs.valid[0].sum())
+        annotated = frame
+        if outs.masks is not None:
+            annotated = overlay_masks(
+                annotated, outs.masks[0], outs.classes[0], outs.valid[0], pipeline.spec
+            )
         annotated = annotate_frame(
-            frame, outs.boxes_frame[0], outs.classes[0], outs.valid[0],
+            annotated, outs.boxes_frame[0], outs.classes[0], outs.valid[0],
             cfg.model.stitch_class_id, cfg.model.fabric_class_id,
             hud_lines=[f"detections: {n}"],
         )

@@ -211,6 +211,13 @@ class InspectionPipeline:
         next batch's IO under device compute."""
         return self._step(self.variables, jnp.asarray(frames_bgr_u8))
 
+    def profile_batch(self, frames_bgr_u8: np.ndarray, trace_dir: str) -> PipelineOutputs:
+        """One step under jax.profiler tracing (SURVEY.md §5: the reference has
+        no profiling; traces open in TensorBoard/XProf)."""
+        with jax.profiler.trace(trace_dir):
+            outs = self.process_batch(frames_bgr_u8)
+        return outs
+
 
 class DualPipeline:
     """Two models sharing one preprocessed batch (BASELINE.json config 4).

@@ -170,6 +170,19 @@ class PackedRemap:
         h, w = src_hw
         mx = np.asarray(map_xy[..., 0], np.float64)
         my = np.asarray(map_xy[..., 1], np.float64)
+
+        # Letterbox pad rows map entirely out of bounds — skip gathering them
+        # and emit static pad rows instead (a 1080p->640 letterbox pads 44% of
+        # rows; the gather is the cost driver).
+        row_live = ~np.all(
+            (mx < -1) | (my < -1) | (mx >= w + 1) | (my >= h + 1), axis=1
+        )
+        live = np.nonzero(row_live)[0]
+        self.row_start = int(live.min()) if live.size else 0
+        self.row_stop = int(live.max()) + 1 if live.size else 0
+        mx = mx[self.row_start : self.row_stop]
+        my = my[self.row_start : self.row_stop]
+
         x0 = np.floor(mx)
         y0 = np.floor(my)
         self.fx = jnp.asarray((mx - x0).astype(np.float32))[None, :, :, None]
@@ -185,10 +198,12 @@ class PackedRemap:
             jnp.asarray(tap(y0 + dy, x0 + dx).reshape(-1))
             for dy in (0, 1) for dx in (0, 1)
         )
+        self.pad_value = pad_value
         pad_u8 = int(round(pad_value * 255.0))
         self.pad_word = np.uint32(pad_u8 | (pad_u8 << 8) | (pad_u8 << 16))
         self.src_hw = (h, w)
         self.dst_hw = map_xy.shape[:2]
+        self.live_hw = (self.row_stop - self.row_start, map_xy.shape[1])
 
     def __call__(self, x: Array) -> Array:
         """(B, H, W, 3) float [0,1] -> (dst_h, dst_w) remapped, same dtype."""
@@ -202,7 +217,7 @@ class PackedRemap:
         )
 
         def unpack(words: Array) -> Array:
-            v = words.reshape(b, *self.dst_hw)
+            v = words.reshape(b, *self.live_hw)
             return jnp.stack(
                 [(v & 0xFF), ((v >> 8) & 0xFF), ((v >> 16) & 0xFF)], axis=-1
             ).astype(x.dtype) / 255.0
@@ -213,7 +228,14 @@ class PackedRemap:
         v11 = unpack(jnp.take(flat, self.idx[3], axis=1))
         top = v00 * (1.0 - self.fx) + v01 * self.fx
         bot = v10 * (1.0 - self.fx) + v11 * self.fx
-        return top * (1.0 - self.fy) + bot * self.fy
+        live = top * (1.0 - self.fy) + bot * self.fy
+        # Re-attach the static pad rows.
+        dst_h = self.dst_hw[0]
+        return jnp.pad(
+            live,
+            ((0, 0), (self.row_start, dst_h - self.row_stop), (0, 0), (0, 0)),
+            constant_values=jnp.asarray(self.pad_value, x.dtype),
+        )
 
 
 def letterbox_then_undistort(
