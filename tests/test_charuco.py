@@ -98,3 +98,54 @@ def test_calibration_fails_without_board(board, tmp_path):
     )
     assert not ok
     assert not (tmp_path / "e.json").exists()
+
+
+def test_intrinsic_calibration_recovers_camera(board):
+    """Full intrinsic calibration from synthetic board renders at diverse poses
+    recovers the ground-truth camera matrix (the capability the reference
+    outsources to an external app via download_calibartion_app.sh)."""
+    from tti.calib.intrinsics import calibrate_intrinsics
+
+    K_gt = np.array([[880.0, 0, 640.0], [0, 880.0, 480.0], [0, 0, 1.0]])
+    dist_gt = np.zeros(5)
+    rng = np.random.default_rng(3)
+    frames = []
+    # Diverse poses: tilt direction sweeps the circle, depth varies — a flat
+    # pose set leaves the radial terms unconstrained (real capture apps demand
+    # the same diversity from the operator).
+    for k in range(16):
+        ang = 2 * np.pi * k / 16
+        tilt = 0.35 + 0.15 * rng.uniform()
+        rvec = np.array([tilt * np.cos(ang), tilt * np.sin(ang), 0.0])
+        rvec += rng.normal(scale=0.05, size=3)
+        depth = 0.18 + 0.1 * rng.uniform()
+        tvec = np.array([-0.03 + 0.02 * rng.uniform(), -0.025 + 0.02 * rng.uniform(), depth])
+        frames.append(_render_board_view(board, K_gt, dist_gt, rvec, tvec))
+
+    result = calibrate_intrinsics(frames, board=board)
+    assert result.n_views >= 5
+    assert result.rms < 1.5
+    assert abs(result.K[0, 0] - K_gt[0, 0]) / K_gt[0, 0] < 0.05
+    assert abs(result.K[1, 1] - K_gt[1, 1]) / K_gt[1, 1] < 0.05
+    assert abs(result.K[0, 2] - K_gt[0, 2]) < 40
+    # Individual coefficients are correlated/ill-conditioned; assert the net
+    # distortion FIELD is small over the board's working area instead.
+    from tti.calib.geometry import distort_points
+    import jax.numpy as jnp
+
+    xs = np.linspace(-0.2, 0.2, 9)  # evaluate within the calibrated board area
+    xy = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2).astype(np.float32)
+    px = np.asarray(distort_points(jnp.asarray(xy), jnp.asarray(result.K, jnp.float32),
+                                   jnp.asarray(result.dist, jnp.float32)))
+    px_ideal = np.asarray(distort_points(jnp.asarray(xy), jnp.asarray(result.K, jnp.float32),
+                                         jnp.zeros(5, jnp.float32)))
+    assert np.abs(px - px_ideal).max() < 3.0  # px of spurious distortion
+
+
+def test_intrinsic_calibration_insufficient_views(board):
+    from tti.calib.intrinsics import calibrate_intrinsics
+    from tti.core.errors import CalibrationError
+
+    blank = np.full((480, 640), 255, np.uint8)
+    with pytest.raises(CalibrationError):
+        calibrate_intrinsics([blank] * 5, board=board)

@@ -64,6 +64,30 @@ def cmd_calibrate(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_calibrate_intrinsics(args) -> int:
+    """Intrinsic calibration from live camera or image directory
+    (replaces the reference's external calibration app download)."""
+    from tti.app.sources import DirectorySource, OpenCVCameraSource, frames_iter
+    from tti.calib.charuco import create_charuco_board
+    from tti.calib.intrinsics import calibrate_intrinsics
+
+    cfg = load_config(validate=False)
+    if args.images:
+        source = DirectorySource(args.images)
+    else:
+        source = OpenCVCameraSource(cfg.camera)
+    board = create_charuco_board(cfg.board)
+    try:
+        result = calibrate_intrinsics(
+            frames_iter(source), board=board,
+            output_path=args.out, max_views=args.max_views,
+        )
+    finally:
+        source.release()
+    print(f"RESULT: rms={result.rms:.3f}px views={result.n_views} -> {args.out}")
+    return 0
+
+
 def cmd_run(args) -> int:
     """The main measurement loop (reference: python main.py)."""
     from tti.app.orchestrator import Orchestrator, run_startup_calibration
@@ -300,6 +324,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("calibrate", help="run extrinsic ChArUco calibration")
     p.add_argument("--solver", default="tti", choices=["tti", "cv2"])
     p.set_defaults(func=cmd_calibrate)
+
+    p = sub.add_parser("calibrate-intrinsics",
+                       help="intrinsic camera calibration from board views")
+    p.add_argument("--images", help="calibrate from an image directory")
+    p.add_argument("--out", default="camera_calibration.json")
+    p.add_argument("--max-views", type=int, default=25)
+    p.set_defaults(func=cmd_calibrate_intrinsics)
 
     p = sub.add_parser("run", help="measurement loop (main.py equivalent)")
     p.add_argument("--images", help="replay image directory instead of camera")
