@@ -288,3 +288,33 @@ def test_smoothing_median_window():
     assert np.isnan(float(sm.edge_distance_mm))
     state3, sm2 = push(state2, 5.0, 5.0)
     assert float(sm2.edge_distance_mm) == pytest.approx(5.5)
+
+
+def test_upper_envelope():
+    from tti.measure.ops import fabric_upper_envelope
+
+    mask = np.zeros((20, 8), np.uint8)
+    mask[5:15, 2] = 1
+    mask[3:4, 5] = 1
+    env = np.asarray(fabric_upper_envelope(jnp.asarray(mask)))
+    assert env[2] == 5 and env[5] == 3 and env[0] == -1
+
+
+def test_measure_frame_skip_cluster(cam):
+    """SKIP_CLUSTER median-split selection (reference: measurement.py:374-389):
+    with two distinct rows, only the bottom half (>= median y) measures edge
+    distance."""
+    from tti.core.config import MeasureConfig as MC
+
+    cam_params, _ = cam
+    spec = letterbox_spec(FRAME_HW[0], FRAME_HW[1], INPUT)
+    cfg = MC(skip_cluster=True)
+    stitches, envelope, _ = _scene(spec)
+    meas = measure_frame(stitches, envelope, jnp.asarray(True), cam_params, spec, cfg)
+    assert int(meas.n_dist) == 5  # bottom row only
+    assert int(meas.n_width) == 9
+
+    # Rows within TWO_ROW_THRESHOLD_PX -> treated as one row, keep all.
+    stitches2, envelope2, env_y = _scene(spec, n_bottom=4, n_top=0)
+    meas2 = measure_frame(stitches2, envelope2, jnp.asarray(True), cam_params, spec, cfg)
+    assert int(meas2.n_dist) == 4

@@ -120,3 +120,21 @@ def test_mask_assembly_iou_parity(rng):
             continue
         iou = float(mask_iou(jnp.asarray(jmask[i]), jnp.asarray(tmask[i])))
         assert iou >= 0.999, f"instance {i}: mask IoU {iou}"
+
+
+def test_s2d_stem_exact(rng):
+    """Space-to-depth stem rewrite is numerically exact vs the k3/s2 stem."""
+    from tti.model.convert import stem_to_s2d
+
+    _, jmodel, variables = _build_pair("n")
+    s2d_vars = stem_to_s2d(variables)
+    jmodel_s2d = YOLOv8Seg(variant="n", nc=2, dtype=jnp.float32, s2d_stem=True)
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    a = jmodel.apply(variables, x, train=False)
+    b = jmodel_s2d.apply(s2d_vars, x, train=False)
+    for lvl in range(3):
+        np.testing.assert_allclose(np.asarray(b.cls[lvl]), np.asarray(a.cls[lvl]),
+                                   atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.protos), np.asarray(a.protos),
+                               atol=1e-4, rtol=1e-4)

@@ -41,6 +41,16 @@ def fabric_lower_envelope(fabric_mask: Array) -> Array:
     return jnp.where(has_any, env, ENVELOPE_EMPTY).astype(jnp.int32)
 
 
+def fabric_upper_envelope(fabric_mask: Array) -> Array:
+    """Top-most fabric row per column; -1 where empty. The diagnostic-harness
+    variant of the envelope (reference: Utils/check_stitch_distance.py:238-251
+    uses the upper edge when the seam runs above the fabric)."""
+    rev = fabric_mask > 0
+    has_any = jnp.any(rev, axis=0)
+    idx = jnp.argmax(rev, axis=0)
+    return jnp.where(has_any, idx, ENVELOPE_EMPTY).astype(jnp.int32)
+
+
 def masked_median(values: Array, mask: Array, axis: int = -1) -> tuple[Array, Array]:
     """Median of the masked-in entries along ``axis`` (numpy semantics: mean of
     the two middles for even counts). Returns (median, any_valid). Invalid ->

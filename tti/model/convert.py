@@ -156,6 +156,45 @@ def verify_tree_shapes(converted: Tree, reference: Tree, path: str = "") -> list
     return problems
 
 
+def stem_to_s2d(variables: Tree) -> Tree:
+    """Rewrite the k3/s2 stem (m0) into the exact space-to-depth form (m0s2d):
+    a k2/s1 conv over the 2x2-blocked 12-channel input.
+
+    Derivation: out(i,j) = sum_{di,dj in 0..2} W[di,dj] x(2i+di-1, 2j+dj-1);
+    with z(p,q,(a,b,c)) = x(2p+a, 2q+b), row 2i+di-1 lands in block p=i-1+P
+    phase a with di = 2P+a-1 — valid for (P,a) in {(0,1),(1,0),(1,1)}, zero for
+    (0,0). Same for columns. Numerically exact (test_model_parity)."""
+    import copy
+
+    new_vars = {
+        "params": dict(variables["params"]),
+        "batch_stats": dict(variables["batch_stats"]),
+    }
+    w = np.asarray(variables["params"]["m0"]["conv"]["kernel"])  # (3,3,3,C)
+    c_in, c_out = w.shape[2], w.shape[3]
+    k2 = np.zeros((2, 2, 4 * c_in, c_out), w.dtype)
+    for P in (0, 1):
+        for a in (0, 1):
+            di = 2 * P + a - 1
+            if not 0 <= di <= 2:
+                continue
+            for Q in (0, 1):
+                for b in (0, 1):
+                    dj = 2 * Q + b - 1
+                    if not 0 <= dj <= 2:
+                        continue
+                    # s2d channel order matches space_to_depth2: (a, b, c).
+                    k2[P, Q, (a * 2 + b) * c_in : (a * 2 + b + 1) * c_in] = w[di, dj]
+    m0 = copy.deepcopy(dict(variables["params"]["m0"]))
+    m0["conv"] = {"kernel": k2}
+    new_vars["params"].pop("m0")
+    new_vars["params"]["m0s2d"] = m0
+    bs = dict(new_vars["batch_stats"])
+    bs["m0s2d"] = bs.pop("m0")
+    new_vars["batch_stats"] = bs
+    return new_vars
+
+
 def save_checkpoint(variables: Tree, path: str, metadata: dict | None = None) -> None:
     """Serialize flax variables (+ JSON metadata sidecar) to msgpack."""
     import json

@@ -32,7 +32,10 @@ def autopad(k: int, d: int = 1) -> int:
 
 
 class Conv(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + SiLU — the YOLOv8 'Conv' block."""
+    """Conv2d(bias=False) + BatchNorm + SiLU — the YOLOv8 'Conv' block.
+
+    pad: explicit symmetric padding override (None -> autopad; 0 for VALID
+    when the caller pre-pads, e.g. the space-to-depth stem)."""
 
     c2: int
     k: int = 1
@@ -40,10 +43,11 @@ class Conv(nn.Module):
     d: int = 1
     act: bool = True
     dtype: Dtype = jnp.float32
+    pad: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        p = autopad(self.k, self.d)
+        p = autopad(self.k, self.d) if self.pad is None else self.pad
         x = nn.Conv(
             self.c2,
             (self.k, self.k),

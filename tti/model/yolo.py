@@ -139,13 +139,30 @@ class Segment(nn.Module):
         )
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (a, b, c) for spatial
+    phase (a, b)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 class YOLOv8Seg(nn.Module):
-    """Full segmentation network: backbone + PAN neck + Segment head."""
+    """Full segmentation network: backbone + PAN neck + Segment head.
+
+    s2d_stem: replace the k3/s2 stem conv with an EXACT space-to-depth
+    equivalent (k2/s1 conv on the 2x2-blocked 12-channel input with
+    rearranged weights — see tti.model.convert.stem_to_s2d). A TPU layout
+    optimization: the 3-channel full-resolution input wastes 125/128 lanes;
+    blocking trades spatial extent for channels before the first conv.
+    """
 
     variant: str = "n"
     nc: int = 2
     nm: int = 32
     dtype: Dtype = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> RawPredictions:
@@ -155,7 +172,13 @@ class YOLOv8Seg(nn.Module):
         x = x.astype(dt)
 
         # Backbone (P1..P5).
-        x0 = Conv(cc["c64"], 3, 2, dtype=dt, name="m0")(x, train)
+        if self.s2d_stem:
+            z = space_to_depth2(x)
+            x0 = Conv(cc["c64"], 2, 1, dtype=dt, pad=0, name="m0s2d")(
+                jnp.pad(z, ((0, 0), (1, 0), (1, 0), (0, 0))), train
+            )
+        else:
+            x0 = Conv(cc["c64"], 3, 2, dtype=dt, name="m0")(x, train)
         x1 = Conv(cc["c128"], 3, 2, dtype=dt, name="m1")(x0, train)
         x2 = C2f(cc["c128"], n3, True, dtype=dt, name="m2")(x1, train)
         x3 = Conv(cc["c256"], 3, 2, dtype=dt, name="m3")(x2, train)

@@ -171,12 +171,19 @@ class PackedRemap:
         mx = np.asarray(map_xy[..., 0], np.float64)
         my = np.asarray(map_xy[..., 1], np.float64)
 
-        # Letterbox pad rows map entirely out of bounds — skip gathering them
-        # and emit static pad rows instead (a 1080p->640 letterbox pads 44% of
-        # rows; the gather is the cost driver).
-        row_live = ~np.all(
-            (mx < -1) | (my < -1) | (mx >= w + 1) | (my >= h + 1), axis=1
-        )
+        # Letterbox pad rows map entirely out of bounds; optionally skip
+        # gathering them and emit static pad rows. Measured on v5e: the
+        # pad+concat costs MORE than the avoided gather (509 vs 573 frames/s
+        # e2e) — XLA loses fusion across the concatenate — so this stays
+        # disabled (full-height gather) unless TTI_REMAP_SKIP_PAD_ROWS=1.
+        import os
+
+        if os.environ.get("TTI_REMAP_SKIP_PAD_ROWS") == "1":
+            row_live = ~np.all(
+                (mx < -1) | (my < -1) | (mx >= w + 1) | (my >= h + 1), axis=1
+            )
+        else:
+            row_live = np.ones(map_xy.shape[0], bool)
         live = np.nonzero(row_live)[0]
         self.row_start = int(live.min()) if live.size else 0
         self.row_stop = int(live.max()) + 1 if live.size else 0
