@@ -76,6 +76,7 @@ class InspectionPipeline:
         return_masks: bool = False,
         undistort: bool = True,
         model: YOLOv8Seg | None = None,
+        s2d_stem: bool = True,
     ) -> None:
         self.model_cfg = model_cfg
         self.measure_cfg = measure_cfg or MeasureConfig()
@@ -85,6 +86,17 @@ class InspectionPipeline:
         self.return_masks = return_masks
 
         dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
+        if model is None and s2d_stem and "m0" in variables.get("params", {}):
+            # Exact space-to-depth stem rewrite: measured 2.7x faster model
+            # forward on v5e (31.7 -> 11.8 ms per 16x640px batch; the
+            # 3-channel full-res stem wastes 125/128 lanes otherwise).
+            from tti.model.convert import stem_to_s2d
+
+            variables = stem_to_s2d(variables)
+            model = YOLOv8Seg(
+                variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
+                s2d_stem=True,
+            )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
         )
@@ -128,11 +140,15 @@ class InspectionPipeline:
         remap_xy = self.remap_xy
         cam = self.cam
 
+        # Preprocess in the model's compute dtype: bf16 halves the resize's
+        # HBM traffic, and the packed remap re-quantizes to 8 bits regardless.
+        pre_dtype = jnp.bfloat16 if self.model_cfg.dtype == "bfloat16" else jnp.float32
+
         def step(variables, frames_u8):
             if remap_xy is not None:
-                x = letterbox_then_undistort(frames_u8, spec, remap_xy)
+                x = letterbox_then_undistort(frames_u8, spec, remap_xy, dtype=pre_dtype)
             else:
-                x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w))
+                x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w), dtype=pre_dtype)
             raw = self.model.apply(variables, x, train=False)
             boxes, probs, coefs = decode_predictions(raw)
             dets = batched_nms(

@@ -216,7 +216,9 @@ class PackedRemap:
         """(B, H, W, 3) float [0,1] -> (dst_h, dst_w) remapped, same dtype."""
         b = x.shape[0]
         h, w = self.src_hw
-        u8 = jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
+        # Quantize via f32: bf16 can't represent the x.5 rounding offsets above
+        # 128, which would bias the 8-bit packing by up to 1 LSB.
+        u8 = jnp.clip(x.astype(jnp.float32) * 255.0 + 0.5, 0, 255).astype(jnp.uint32)
         packed = u8[..., 0] | (u8[..., 1] << 8) | (u8[..., 2] << 16)
         flat = jnp.concatenate(
             [packed.reshape(b, h * w),
