@@ -252,6 +252,21 @@ class Orchestrator:
             total_mm=self.total_distance_mm, valid=has_valid, inserted=inserted,
             outputs=outs,
         )
+        # Structured measurement record (replaces the reference's emoji prints,
+        # main.py:238-248,305; machine-parseable with TTI_LOG_JSON=1).
+        log.info(
+            "measurement",
+            extra={
+                "tti_seam_mm": None if seam is None else round(seam, 3),
+                "tti_width_mm": None if width is None else round(width, 3),
+                "tti_stitch_delta": stitch_delta,
+                "tti_count_hw": current_count,
+                "tti_moved_mm": round(moved, 3),
+                "tti_total_mm": round(self.total_distance_mm, 3),
+                "tti_valid": has_valid,
+                "tti_inserted": inserted,
+            },
+        )
         return result
 
     def save_annotated_frame(self, frame: np.ndarray, result: dict) -> str | None:

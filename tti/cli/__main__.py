@@ -96,6 +96,9 @@ def cmd_run(args) -> int:
 
     cfg = load_config(validate=not args.no_validate)
 
+    if args.cameras and args.cameras > 1:
+        return _run_multistream(args, cfg)
+
     if args.images:
         source = DirectorySource(args.images, loop=args.loop)
         frame_hw = _probe_hw(source)
@@ -120,6 +123,53 @@ def cmd_run(args) -> int:
     orch = Orchestrator(cfg, pipeline, source)
     orch.init_services()
     orch.run(max_frames=args.max_frames)
+    return 0
+
+
+def _run_multistream(args, cfg) -> int:
+    """Multi-camera line (BASELINE.json config 5): N streams through one
+    batched device pipeline, per-stream smoothing; metrics are logged (DB
+    persistence stays single-stream — the reference schema has no stream id)."""
+    import time
+
+    from tti.app.results import measurement_to_dict
+    from tti.app.sources import OpenCVCameraSource, SyntheticSource
+    from tti.calib.io import CalibrationData
+    from tti.parallel.streams import MultiStreamRunner
+
+    n = args.cameras
+    frame_hw = (cfg.camera.height, cfg.camera.width)
+    if args.synthetic:
+        sources = [SyntheticSource(*frame_hw, seed=i) for i in range(n)]
+    else:
+        sources = [OpenCVCameraSource(cfg.camera, index=f"/dev/video{i}") for i in range(n)]
+
+    calibration = None
+    if os.path.exists(cfg.runtime.intrinsics_file) and os.path.exists(cfg.runtime.extrinsics_file):
+        calibration = CalibrationData.load(cfg.runtime.intrinsics_file, cfg.runtime.extrinsics_file)
+
+    pipeline = _load_pipeline(cfg, frame_hw, calibration)
+    runner = MultiStreamRunner(pipeline, sources, frame_hw)
+    runner.start()
+    try:
+        if not runner.wait_for_frames():
+            log.error("streams produced no frames")
+            return 1
+        batches = 0
+        while args.max_frames is None or batches < args.max_frames:
+            outs, results = runner.step()
+            for stream, meas in enumerate(results):
+                d = measurement_to_dict(meas)
+                log.info(
+                    "stream %d: edge=%s width=%s n=%d", stream,
+                    d["edge_distance_mm"], d["stitch_width_mm"], d["stitch_count"],
+                )
+            batches += 1
+            time.sleep(cfg.runtime.inference_interval_s)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        runner.stop()
     return 0
 
 
@@ -339,6 +389,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--skip-calibration", action="store_true")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--cameras", type=int, default=1,
+                   help="multi-camera line: N streams through one device pipeline")
     p.set_defaults(func=cmd_run)
 
     p = sub.add_parser("check-model", help="annotated detection dump")
