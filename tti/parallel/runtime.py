@@ -19,7 +19,6 @@ sharing preprocessed frames) reuse one preprocess pass via ``DualPipeline``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
@@ -31,14 +30,11 @@ from tti.core.config import MeasureConfig, ModelConfig, RoiConfig
 from tti.measure.pipeline import (
     CameraParams,
     FrameMeasurement,
-    MeasureState,
-    init_measure_state,
     measure_frame,
     prepare_frame_inputs,
-    smooth_measurement,
 )
 from tti.model.yolo import YOLOv8Seg, create_model
-from tti.parallel.mesh import batch_sharding, create_mesh
+from tti.parallel.mesh import batch_sharding
 from tti.postprocess.decode import Detections, decode_predictions
 from tti.postprocess.nms import batched_nms
 from tti.preprocess.letterbox import LetterboxSpec, letterbox_spec, preprocess_frames

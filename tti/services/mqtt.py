@@ -13,7 +13,7 @@ side channels — reference: main.py:153-154).
 from __future__ import annotations
 
 import threading
-import time
+
 from typing import Any, Callable
 
 from tti.core.config import MqttConfig

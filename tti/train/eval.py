@@ -10,7 +10,7 @@ supported; eval runs on host because it is not a hot path.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -10,7 +10,6 @@ shardings alone.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.struct
@@ -19,7 +18,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tti.model.yolo import REG_MAX, STRIDES, RawPredictions, YOLOv8Seg
+from tti.model.yolo import REG_MAX, STRIDES, YOLOv8Seg
 from tti.postprocess.decode import dfl_expectation, flatten_predictions, make_anchors
 from tti.train.assigner import task_aligned_assign
 from tti.train.losses import bbox_ciou, dfl_loss, seg_loss
