@@ -53,6 +53,12 @@ def task_aligned_assign(
       target_boxes (A, 4), target_classes (A,) int32,
       target_scores (A, nc) soft targets for BCE.
     """
+    # Assignment produces LABELS: no gradients may flow through it (and the
+    # alignment metric's score^0.5 has an infinite derivative at score 0 —
+    # without the stop_gradient, sigmoid underflow turns the whole loss NaN).
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+    pred_probs = jax.lax.stop_gradient(pred_probs)
+
     A = pred_boxes.shape[0]
     iou = pairwise_iou(pred_boxes, gt_boxes)  # (A, G)
     score = jnp.take_along_axis(
@@ -67,14 +73,21 @@ def task_aligned_assign(
         & (anchors[:, None, 1] < gt_boxes[None, :, 3])
     )
     candidate = inside & gt_valid[None, :]
-    metric = jnp.where(candidate, metric, 0.0)
+    # Candidates rank at metric >= 0; non-candidates at -1. Acceptance is
+    # candidacy, NOT metric > 0: requiring a positive metric makes training
+    # collapse — once the classification loss pushes early scores into sigmoid
+    # underflow the metric becomes exactly 0, every positive disappears, and
+    # all losses reach a degenerate zero fixed point (observed: loss -> 0.001
+    # with max prob -> 0 on a toy dataset).
+    metric = jnp.where(candidate, metric, -1.0)
 
-    # Top-k anchors per GT by metric.
+    # Top-k candidate anchors per GT by metric.
     k = min(topk, A)
     topk_vals, topk_idx = jax.lax.top_k(metric.T, k)  # (G, k)
     sel = jnp.zeros((gt_boxes.shape[0], A), bool)
-    sel = sel.at[jnp.arange(gt_boxes.shape[0])[:, None], topk_idx].set(topk_vals > 0)
+    sel = sel.at[jnp.arange(gt_boxes.shape[0])[:, None], topk_idx].set(topk_vals >= 0.0)
     assigned = sel.T  # (A, G)
+    metric = jnp.maximum(metric, 0.0)
 
     # Anchor claimed by several GTs -> keep highest IoU.
     multi = jnp.sum(assigned, axis=1) > 1

@@ -104,8 +104,12 @@ def _loss_single(
     cls_bce = optax.sigmoid_binary_cross_entropy(cls_logits, tscores)
     loss_cls = jnp.sum(cls_bce) / score_sum
 
-    # Box: (1 - CIoU) weighted by target score, over positives.
+    # Box: (1 - CIoU) weighted by target score, over positives. The weight is
+    # floored for positives so geometry keeps training while classification
+    # scores bootstrap from cold start (zero scores would otherwise zero the
+    # box/DFL gradients and stall the alignment feedback loop).
     w = jnp.sum(tscores, axis=-1)  # (A,)
+    w = jnp.where(pos, jnp.maximum(w, 0.05), 0.0)
     ciou = bbox_ciou(pred_boxes, tboxes)
     loss_box = jnp.sum(jnp.where(pos, (1.0 - ciou) * w, 0.0)) / score_sum
 
