@@ -110,3 +110,26 @@ def test_packed_remap_matches_f32_remap(ref_intrinsics, rng):
     packed = PackedRemap(small_map, (64, 64))
     got = np.asarray(packed(jnp.asarray(x)))
     assert np.abs(got - ref).max() < 3.0 / 255.0
+
+
+def test_integer_decimation_fast_path_matches_general(rng, monkeypatch):
+    monkeypatch.setenv("TTI_LETTERBOX_DECIMATE", "1")
+    """k=3 decimation (1080p->640-style) must equal the general bilinear path."""
+    from tti.preprocess.letterbox import letterbox, letterbox_u8, normalize, bgr_to_rgb
+
+    frames = rng.integers(0, 255, size=(2, 96, 192, 3), dtype=np.uint8)
+    spec = letterbox_spec(96, 192, 64)  # 192/64 = 3, 96 -> 32 content rows
+    assert spec.scale == pytest.approx(1 / 3)
+    fast = np.asarray(letterbox_u8(jnp.asarray(frames), spec))
+    general = np.asarray(letterbox(normalize(bgr_to_rgb(jnp.asarray(frames))), spec))
+    np.testing.assert_allclose(fast, general, atol=2e-3)
+
+
+def test_non_integer_scale_uses_general_path(rng):
+    from tti.preprocess.letterbox import letterbox_u8, _integer_decimation
+
+    spec = letterbox_spec(960, 1280, 960)  # scale 0.75 -> general path
+    assert _integer_decimation(spec) is None
+    frames = rng.integers(0, 255, size=(1, 960, 1280, 3), dtype=np.uint8)
+    out = np.asarray(letterbox_u8(jnp.asarray(frames), spec))
+    assert out.shape == (1, 960, 960, 3)

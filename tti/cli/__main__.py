@@ -274,6 +274,52 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Evaluate weights on a YOLO-format dataset: box + mask mAP50/50-95."""
+    import numpy as np
+
+    from tti.postprocess.masks import upsample_masks
+    from tti.train.data import discover_dataset, sample_to_targets
+    from tti.train.eval import ImageEval, evaluate
+
+    import dataclasses
+
+    cfg = load_config(validate=False)
+    model_cfg = dataclasses.replace(cfg.model, image_size=args.imgsz,
+                                    **({"weights": args.weights} if args.weights else {}))
+    cfg = cfg.replace(model=model_cfg)
+    samples = discover_dataset(args.images)
+    pipeline = _load_pipeline(cfg, (args.imgsz, args.imgsz), return_masks=True)
+
+    images_eval = []
+    for sample in samples:
+        img, t = sample_to_targets(sample, args.imgsz, max_gt=64)
+        bgr = (img[..., ::-1] * 255).astype(np.uint8)
+        outs = pipeline.process_batch(bgr[None])
+        valid = outs.valid[0]
+        hm = outs.masks.shape[-1] if outs.masks is not None else args.imgsz // 4
+        pred_masks = None
+        gt_masks = None
+        if outs.masks is not None:
+            pred_masks = outs.masks[0][valid]
+            gt_masks = np.asarray(t["masks"][t["valid"]])
+        images_eval.append(ImageEval(
+            pred_boxes=outs.boxes_frame[0][valid],
+            pred_scores=outs.scores[0][valid],
+            pred_classes=outs.classes[0][valid],
+            gt_boxes=t["boxes"][t["valid"]],
+            gt_classes=t["classes"][t["valid"]],
+            pred_masks=pred_masks, gt_masks=gt_masks,
+        ))
+
+    box_metrics = evaluate(images_eval, cfg.model.num_classes)
+    print("box:", {k: round(v, 4) for k, v in box_metrics.items()})
+    if images_eval and images_eval[0].pred_masks is not None:
+        mask_metrics = evaluate(images_eval, cfg.model.num_classes, use_masks=True)
+        print("mask:", {k: round(v, 4) for k, v in mask_metrics.items()})
+    return 0
+
+
 def cmd_tune_camera(args) -> int:
     """Interactive exposure/brightness/contrast tuning
     (reference: Testing/test1.py trackbar tool). Headless mode (--set) applies
@@ -423,6 +469,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("eval", help="box+mask mAP on a YOLO-format dataset")
+    p.add_argument("--images", required=True)
+    p.add_argument("--weights")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.set_defaults(func=cmd_eval)
 
     p = sub.add_parser("tune-camera", help="exposure/brightness/contrast tuning")
     p.add_argument("--set", nargs="*", metavar="PROP=VALUE",

@@ -78,6 +78,51 @@ def letterbox(frames: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
     )
 
 
+def _integer_decimation(spec: LetterboxSpec) -> int | None:
+    """If the resize is an exact odd-integer decimation whose bilinear sample
+    positions land on source pixel centers, return the stride k, else None.
+
+    With scale s = 1/k, output pixel i samples source (i + 0.5)k - 0.5 =
+    ki + (k-1)/2 — an integer for odd k — so bilinear resize degenerates to a
+    strided slice. Counterintuitively this LOSES on v5e inside the fused
+    pipeline (514 vs 575 frames/s e2e): XLA already fuses the u8->float
+    conversion into the resize and only reads the needed samples, while a
+    strided uint8 slice forces an unfavorable relayout. Kept behind
+    TTI_LETTERBOX_DECIMATE=1 for evaluation on other hardware.
+    """
+    import os
+
+    if os.environ.get("TTI_LETTERBOX_DECIMATE") != "1":
+        return None
+    if spec.new_h == 0 or spec.new_w == 0:
+        return None
+    if spec.src_h % spec.new_h or spec.src_w % spec.new_w:
+        return None
+    k = spec.src_h // spec.new_h
+    if k != spec.src_w // spec.new_w or k < 2 or k % 2 == 0:
+        return None
+    return k
+
+
+def letterbox_u8(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
+    """Fused uint8-BGR -> normalized-RGB letterbox, with the integer-decimation
+    fast path (slice the uint8 input first, float math on the small image)."""
+    k = _integer_decimation(spec)
+    if k is not None:
+        off = (k - 1) // 2
+        small = frames_bgr_u8[:, off::k, off::k, :][:, : spec.new_h, : spec.new_w, :]
+        x = small[..., ::-1].astype(dtype) / 255.0
+        pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
+        pad_right = spec.dst_w - spec.new_w - spec.pad_left
+        return jnp.pad(
+            x,
+            ((0, 0), (spec.pad_top, pad_bottom), (spec.pad_left, pad_right), (0, 0)),
+            constant_values=jnp.asarray(PAD_VALUE / 255.0, dtype),
+        )
+    x = normalize(bgr_to_rgb(frames_bgr_u8), dtype)
+    return letterbox(x, spec, dtype)
+
+
 def preprocess_frames(
     frames_bgr_u8: Array, target: int | tuple[int, int], dtype=jnp.float32
 ) -> tuple[Array, LetterboxSpec]:
@@ -88,8 +133,7 @@ def preprocess_frames(
     """
     b, h, w, _ = frames_bgr_u8.shape
     spec = letterbox_spec(h, w, target)
-    x = normalize(bgr_to_rgb(frames_bgr_u8), dtype)
-    return letterbox(x, spec, dtype), spec
+    return letterbox_u8(frames_bgr_u8, spec, dtype), spec
 
 
 def scale_boxes_to_frame(boxes_xyxy: Array, spec: LetterboxSpec) -> Array:

@@ -251,13 +251,13 @@ def letterbox_then_undistort(
     frames_bgr_u8: Array, spec: LetterboxSpec, small_remap: "PackedRemap | Array",
     dtype=jnp.float32,
 ) -> Array:
-    """Two-stage production preprocess: fused flip+normalize+letterbox (strided
-    resize), then the small-operand undistort remap (packed-u32 fast path when
-    given a PackedRemap; f32 remap when given a raw map array)."""
-    from tti.preprocess.letterbox import letterbox
+    """Two-stage production preprocess: fused flip+normalize+letterbox (with the
+    integer-decimation fast path), then the small-operand undistort remap
+    (packed-u32 fast path when given a PackedRemap; f32 remap when given a raw
+    map array)."""
+    from tti.preprocess.letterbox import letterbox_u8
 
-    x = frames_bgr_u8[..., ::-1].astype(dtype) / 255.0
-    x = letterbox(x, spec, dtype)
+    x = letterbox_u8(frames_bgr_u8, spec, dtype)
     if isinstance(small_remap, PackedRemap):
         return small_remap(x)
     return remap_bilinear(x, jnp.asarray(small_remap))
