@@ -133,3 +133,23 @@ def test_non_integer_scale_uses_general_path(rng):
     frames = rng.integers(0, 255, size=(1, 960, 1280, 3), dtype=np.uint8)
     out = np.asarray(letterbox_u8(jnp.asarray(frames), spec))
     assert out.shape == (1, 960, 960, 3)
+
+
+def test_packed_remap_nearest(rng, ref_intrinsics):
+    from tti.preprocess.remap import PackedRemap, build_small_undistort_map
+
+    K, dist = ref_intrinsics
+    Ks = K.copy(); Ks[0] *= 128 / 1280; Ks[1] *= 96 / 960
+    spec = letterbox_spec(96, 128, 64)
+    small_map = build_small_undistort_map(Ks, dist, spec)
+    x = rng.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32)
+
+    bil = PackedRemap(small_map, (64, 64))
+    near = PackedRemap(small_map, (64, 64), interp="nearest")
+    out_b = np.asarray(bil(jnp.asarray(x)))
+    out_n = np.asarray(near(jnp.asarray(x)))
+    assert out_n.shape == out_b.shape
+    # Nearest differs from bilinear but stays within the source value range.
+    assert 0.0 <= out_n.min() and out_n.max() <= 1.0
+    with pytest.raises(ValueError):
+        PackedRemap(small_map, (64, 64), interp="bicubic")

@@ -73,6 +73,7 @@ class InspectionPipeline:
         undistort: bool = True,
         model: YOLOv8Seg | None = None,
         s2d_stem: bool = True,
+        undistort_interp: str = "bilinear",
     ) -> None:
         self.model_cfg = model_cfg
         self.measure_cfg = measure_cfg or MeasureConfig()
@@ -120,7 +121,10 @@ class InspectionPipeline:
                 small_map = build_small_undistort_map(
                     calibration.K, calibration.dist, self.spec
                 )
-                self.remap_xy = PackedRemap(small_map, (self.spec.dst_h, self.spec.dst_w))
+                self.remap_xy = PackedRemap(
+                    small_map, (self.spec.dst_h, self.spec.dst_w),
+                    interp=undistort_interp,
+                )
 
         self._step = self._build_step()
 

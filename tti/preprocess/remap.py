@@ -166,7 +166,10 @@ class PackedRemap:
     """
 
     def __init__(self, map_xy: np.ndarray, src_hw: tuple[int, int],
-                 pad_value: float = PAD_VALUE / 255.0) -> None:
+                 pad_value: float = PAD_VALUE / 255.0, interp: str = "bilinear") -> None:
+        if interp not in ("bilinear", "nearest"):
+            raise ValueError(f"interp must be bilinear|nearest, got {interp!r}")
+        self.interp = interp
         h, w = src_hw
         mx = np.asarray(map_xy[..., 0], np.float64)
         my = np.asarray(map_xy[..., 1], np.float64)
@@ -201,10 +204,15 @@ class PackedRemap:
             flat = np.clip(yi, 0, h - 1) * w + np.clip(xi, 0, w - 1)
             return np.where(inb, flat, pad_idx).astype(np.int32)
 
-        self.idx = tuple(
-            jnp.asarray(tap(y0 + dy, x0 + dx).reshape(-1))
-            for dy in (0, 1) for dx in (0, 1)
-        )
+        if self.interp == "nearest":
+            # Single tap at the rounded position: 1/4 the gather fetches for
+            # deployments that trade interpolation smoothness for speed.
+            self.idx = (jnp.asarray(tap(np.round(my), np.round(mx)).reshape(-1)),)
+        else:
+            self.idx = tuple(
+                jnp.asarray(tap(y0 + dy, x0 + dx).reshape(-1))
+                for dy in (0, 1) for dx in (0, 1)
+            )
         self.pad_value = pad_value
         pad_u8 = int(round(pad_value * 255.0))
         self.pad_word = np.uint32(pad_u8 | (pad_u8 << 8) | (pad_u8 << 16))
@@ -231,13 +239,16 @@ class PackedRemap:
                 [(v & 0xFF), ((v >> 8) & 0xFF), ((v >> 16) & 0xFF)], axis=-1
             ).astype(x.dtype) / 255.0
 
-        v00 = unpack(jnp.take(flat, self.idx[0], axis=1))
-        v01 = unpack(jnp.take(flat, self.idx[1], axis=1))
-        v10 = unpack(jnp.take(flat, self.idx[2], axis=1))
-        v11 = unpack(jnp.take(flat, self.idx[3], axis=1))
-        top = v00 * (1.0 - self.fx) + v01 * self.fx
-        bot = v10 * (1.0 - self.fx) + v11 * self.fx
-        live = top * (1.0 - self.fy) + bot * self.fy
+        if self.interp == "nearest":
+            live = unpack(jnp.take(flat, self.idx[0], axis=1))
+        else:
+            v00 = unpack(jnp.take(flat, self.idx[0], axis=1))
+            v01 = unpack(jnp.take(flat, self.idx[1], axis=1))
+            v10 = unpack(jnp.take(flat, self.idx[2], axis=1))
+            v11 = unpack(jnp.take(flat, self.idx[3], axis=1))
+            top = v00 * (1.0 - self.fx) + v01 * self.fx
+            bot = v10 * (1.0 - self.fx) + v11 * self.fx
+            live = top * (1.0 - self.fy) + bot * self.fy
         # Re-attach the static pad rows.
         dst_h = self.dst_hw[0]
         return jnp.pad(
