@@ -134,6 +134,29 @@ def main() -> None:
         dual_fps = batch * iters / max(time.perf_counter() - t0 - roundtrip, 1e-9)
         print(f"config4 dual-model: {dual_fps:.1f} frames/s (both models per frame)",
               file=sys.stderr)
+
+        # BASELINE.json config 5: 4-camera line — capture threads -> native
+        # rings -> one shared device pipeline, sustained.
+        from tti.app.sources import SyntheticSource
+        from tti.parallel.streams import MultiStreamRunner
+
+        sources = [SyntheticSource(frame_h, frame_w, seed=i) for i in range(4)]
+        runner = MultiStreamRunner(pipeline, sources, (frame_h, frame_w))
+        runner.start()
+        try:
+            runner.wait_for_frames()
+            runner.step()  # warm the (batch=4) program
+            t0 = time.perf_counter()
+            n_steps = 25
+            for _ in range(n_steps):
+                runner.step()
+            stream_fps = 4 * n_steps / (time.perf_counter() - t0)
+            print(f"config5 4-stream line: {stream_fps:.1f} frames/s sustained "
+                  f"(incl. host capture + host->device frame upload; on relayed "
+                  f"transports this line measures the tunnel, not the design)",
+                  file=sys.stderr)
+        finally:
+            runner.stop()
     print(
         json.dumps(
             {

@@ -1,0 +1,65 @@
+"""Weight converter robustness: naming, shapes, error paths, checkpoint IO."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from tests.torch_ref import TorchYOLOv8Seg
+from tti.model.convert import (
+    convert_torch_state_dict,
+    load_checkpoint,
+    save_checkpoint,
+    stem_to_s2d,
+    verify_tree_shapes,
+)
+from tti.model.yolo import YOLOv8Seg, init_variables
+
+
+def test_dfl_weights_skipped():
+    tmodel = TorchYOLOv8Seg(variant="n", nc=2)
+    variables = convert_torch_state_dict(tmodel.state_dict())
+    assert "dfl" not in variables["params"].get("m22", {})
+
+
+def test_non_model_keys_ignored():
+    tmodel = TorchYOLOv8Seg(variant="n", nc=2)
+    sd = dict(tmodel.state_dict())
+    sd["epoch"] = torch.tensor(3)
+    sd["optimizer.lr"] = torch.tensor(0.1)
+    variables = convert_torch_state_dict(sd)
+    ref = init_variables(YOLOv8Seg(variant="n", nc=2), image_size=64)
+    assert verify_tree_shapes(variables["params"], ref["params"]) == []
+
+
+def test_unknown_suffix_raises():
+    with pytest.raises(ValueError, match="unhandled"):
+        convert_torch_state_dict({"model.0.conv.weird_stat": torch.zeros(3)})
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = YOLOv8Seg(variant="n", nc=2)
+    variables = init_variables(model, image_size=64)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(variables, path, metadata={"variant": "n"})
+    restored = load_checkpoint(path, variables)
+    a = jnp.ravel(variables["params"]["m0"]["conv"]["kernel"])
+    b = jnp.ravel(restored["params"]["m0"]["conv"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    import json
+
+    meta = json.load(open(path + ".json"))
+    assert meta["variant"] == "n"
+
+
+def test_stem_to_s2d_structure():
+    model = YOLOv8Seg(variant="n", nc=2)
+    variables = init_variables(model, image_size=64)
+    out = stem_to_s2d(variables)
+    assert "m0" not in out["params"] and "m0s2d" in out["params"]
+    assert out["params"]["m0s2d"]["conv"]["kernel"].shape == (2, 2, 12, 16)
+    assert "m0s2d" in out["batch_stats"] and "m0" not in out["batch_stats"]
+    # Original tree untouched.
+    assert "m0" in variables["params"]
