@@ -138,3 +138,23 @@ def test_s2d_stem_exact(rng):
                                    atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(b.protos), np.asarray(a.protos),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_head_entry_exact(rng):
+    """Fused head-entry conv (cv2/cv3/cv4 level-0 convs stacked) is exact."""
+    from tti.model.convert import fuse_head_entries
+
+    _, jmodel, variables = _build_pair("n")
+    fused_vars = fuse_head_entries(variables)
+    jmodel_f = YOLOv8Seg(variant="n", nc=2, dtype=jnp.float32, fused_head_entry=True)
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    a = jmodel.apply(variables, x, train=False)
+    b = jmodel_f.apply(fused_vars, x, train=False)
+    for lvl in range(3):
+        np.testing.assert_allclose(np.asarray(b.box[lvl]), np.asarray(a.box[lvl]),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(b.cls[lvl]), np.asarray(a.cls[lvl]),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(b.mcoef[lvl]), np.asarray(a.mcoef[lvl]),
+                                   atol=1e-4, rtol=1e-4)

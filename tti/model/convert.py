@@ -195,6 +195,49 @@ def stem_to_s2d(variables: Tree) -> Tree:
     return new_vars
 
 
+def fuse_head_entries(variables: Tree) -> Tree:
+    """Concatenate the three head branches' entry convs (cv2_L_0 / cv3_L_0 /
+    cv4_L_0 — all consuming the same level feature map) into one conv cvh_L
+    with stacked output channels. Exact: independent convs on one input equal
+    a single conv with concatenated filters; BN folds per-channel."""
+    import copy
+
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    m22p = copy.deepcopy(dict(params["m22"]))
+    m22s = copy.deepcopy(dict(stats["m22"]))
+    for level in range(3):
+        branches = [f"cv2_{level}_0", f"cv3_{level}_0", f"cv4_{level}_0"]
+        kernel = np.concatenate(
+            [np.asarray(m22p[b]["conv"]["kernel"]) for b in branches], axis=-1
+        )
+        fused_p = {
+            "conv": {"kernel": kernel},
+            "bn": {
+                key: np.concatenate(
+                    [np.asarray(m22p[b]["bn"][key]) for b in branches]
+                )
+                for key in ("scale", "bias")
+            },
+        }
+        fused_s = {
+            "bn": {
+                key: np.concatenate(
+                    [np.asarray(m22s[b]["bn"][key]) for b in branches]
+                )
+                for key in ("mean", "var")
+            }
+        }
+        for b in branches:
+            m22p.pop(b)
+            m22s.pop(b)
+        m22p[f"cvh_{level}"] = fused_p
+        m22s[f"cvh_{level}"] = fused_s
+    params["m22"] = m22p
+    stats["m22"] = m22s
+    return {"params": params, "batch_stats": stats}
+
+
 def save_checkpoint(variables: Tree, path: str, metadata: dict | None = None) -> None:
     """Serialize flax variables (+ JSON metadata sidecar) to msgpack."""
     import json

@@ -89,13 +89,21 @@ def _cls_bias_init(stride: int, nc: int, imgsz: int = 640):
 
 
 class Segment(nn.Module):
-    """Decoupled Detect + mask-coefficient branches + shared Proto."""
+    """Decoupled Detect + mask-coefficient branches + shared Proto.
+
+    fused_entry: run the three branches' FIRST 3x3 convs (which share the same
+    input feature map) as ONE conv with concatenated output channels — exact
+    (independent convs on one input == one conv with stacked filters) and a
+    better MXU shape (c2+c3+c4 output channels instead of three small convs).
+    Weight layout transform: tti.model.convert.fuse_head_entries.
+    """
 
     nc: int = 2
     nm: int = 32
     npr: int = 64
     ch: tuple[int, int, int] = (64, 128, 256)
     dtype: Dtype = jnp.float32
+    fused_entry: bool = False
 
     @nn.compact
     def __call__(
@@ -109,23 +117,34 @@ class Segment(nn.Module):
 
         box_out, cls_out, coef_out = [], [], []
         for level, x in enumerate(feats):
-            b = Conv(c2, 3, 1, dtype=self.dtype, name=f"cv2_{level}_0")(x, train)
+            if self.fused_entry:
+                bcm = Conv(c2 + c3 + c4, 3, 1, dtype=self.dtype,
+                           name=f"cvh_{level}")(x, train)
+                b = bcm[..., :c2]
+                c_in = bcm[..., c2 : c2 + c3]
+                m_in = bcm[..., c2 + c3 :]
+            else:
+                b = Conv(c2, 3, 1, dtype=self.dtype, name=f"cv2_{level}_0")(x, train)
+                c_in = None
+                m_in = None
             b = Conv(c2, 3, 1, dtype=self.dtype, name=f"cv2_{level}_1")(b, train)
             b = nn.Conv(
                 4 * REG_MAX, (1, 1), use_bias=True, dtype=self.dtype,
                 param_dtype=jnp.float32, bias_init=nn.initializers.ones,
                 name=f"cv2_{level}_2",
             )(b)
-            c = Conv(c3, 3, 1, dtype=self.dtype, name=f"cv3_{level}_0")(x, train)
-            c = Conv(c3, 3, 1, dtype=self.dtype, name=f"cv3_{level}_1")(c, train)
+            if not self.fused_entry:
+                c_in = Conv(c3, 3, 1, dtype=self.dtype, name=f"cv3_{level}_0")(x, train)
+            c = Conv(c3, 3, 1, dtype=self.dtype, name=f"cv3_{level}_1")(c_in, train)
             c = nn.Conv(
                 self.nc, (1, 1), use_bias=True, dtype=self.dtype,
                 param_dtype=jnp.float32,
                 bias_init=_cls_bias_init(STRIDES[level], self.nc),
                 name=f"cv3_{level}_2",
             )(c)
-            m = Conv(c4, 3, 1, dtype=self.dtype, name=f"cv4_{level}_0")(x, train)
-            m = Conv(c4, 3, 1, dtype=self.dtype, name=f"cv4_{level}_1")(m, train)
+            if not self.fused_entry:
+                m_in = Conv(c4, 3, 1, dtype=self.dtype, name=f"cv4_{level}_0")(x, train)
+            m = Conv(c4, 3, 1, dtype=self.dtype, name=f"cv4_{level}_1")(m_in, train)
             m = nn.Conv(
                 self.nm, (1, 1), use_bias=True, dtype=self.dtype,
                 param_dtype=jnp.float32, name=f"cv4_{level}_2",
@@ -163,6 +182,7 @@ class YOLOv8Seg(nn.Module):
     nm: int = 32
     dtype: Dtype = jnp.float32
     s2d_stem: bool = False
+    fused_head_entry: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> RawPredictions:
@@ -207,6 +227,7 @@ class YOLOv8Seg(nn.Module):
             npr=cc["npr"],
             ch=(cc["p3"], cc["p4"], cc["p5"]),
             dtype=dt,
+            fused_entry=self.fused_head_entry,
             name="m22",
         )
         return head((x15, x18, x21), train)

@@ -84,15 +84,16 @@ class InspectionPipeline:
 
         dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
         if model is None and s2d_stem and "m0" in variables.get("params", {}):
-            # Exact space-to-depth stem rewrite: measured 2.7x faster model
-            # forward on v5e (31.7 -> 11.8 ms per 16x640px batch; the
-            # 3-channel full-res stem wastes 125/128 lanes otherwise).
-            from tti.model.convert import stem_to_s2d
+            # Exact inference-time weight transforms:
+            # - space-to-depth stem (measured 2.7x faster standalone forward on
+            #   v5e; the 3-channel full-res stem wastes 125/128 lanes),
+            # - fused head-entry conv (3 small branch convs -> 1 per level).
+            from tti.model.convert import fuse_head_entries, stem_to_s2d
 
-            variables = stem_to_s2d(variables)
+            variables = fuse_head_entries(stem_to_s2d(variables))
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
-                s2d_stem=True,
+                s2d_stem=True, fused_head_entry=True,
             )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
