@@ -88,12 +88,21 @@ class InspectionPipeline:
             # - space-to-depth stem (measured 2.7x faster standalone forward on
             #   v5e; the 3-channel full-res stem wastes 125/128 lanes),
             # - fused head-entry conv (3 small branch convs -> 1 per level).
+            import os
+
             from tti.model.convert import fuse_head_entries, stem_to_s2d
 
-            variables = fuse_head_entries(stem_to_s2d(variables))
+            # Head-entry fusion is exact but measured 2.5x SLOWER e2e on v5e
+            # (225 vs 570 frames/s): slicing the fused conv's output into
+            # 64/64/32-channel groups forces lane relayouts downstream.
+            # Available for evaluation on other hardware via TTI_FUSED_HEAD=1.
+            fuse_head = os.environ.get("TTI_FUSED_HEAD") == "1"
+            variables = stem_to_s2d(variables)
+            if fuse_head:
+                variables = fuse_head_entries(variables)
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
-                s2d_stem=True, fused_head_entry=True,
+                s2d_stem=True, fused_head_entry=fuse_head,
             )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
