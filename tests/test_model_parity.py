@@ -22,7 +22,7 @@ def _build_pair(variant="n", nc=2, seed=0):
     return tmodel, jmodel, variables
 
 
-@pytest.mark.parametrize("variant", ["n", "s"])
+@pytest.mark.parametrize("variant", ["n", "s", "m"])
 def test_converted_tree_matches_init_structure(variant):
     tmodel, jmodel, variables = _build_pair(variant)
     ref = init_variables(jmodel, image_size=64)

@@ -49,7 +49,9 @@ def test_box_iou_matrix_basics():
     assert iou[0, 3] == 0.0
 
 
-def test_nms_matches_reference_oracle(rng):
+@pytest.mark.parametrize("seed", [0, 1, 2, 7, 13])
+def test_nms_matches_reference_oracle(seed):
+    rng = np.random.default_rng(seed)
     n, nc = 120, 2
     boxes = np.zeros((n, 4), np.float32)
     centers = rng.uniform(50, 600, size=(n, 2))
