@@ -80,3 +80,29 @@ def test_concurrent_producer_consumer():
     t.join(timeout=2)
     assert not errors
     assert ring.head() > 0
+
+
+def test_gather_batch_native():
+    from tti.native import gather_batch
+
+    if _load_library() is None:
+        pytest.skip("no compiler")
+    rings = [FrameRing(4, SHAPE, native=True) for _ in range(3)]
+    rings[0].push(_frame(10))
+    rings[2].push(_frame(30))
+    out = np.zeros((3, *SHAPE), np.uint8)
+    mask = gather_batch(rings, out)
+    assert mask == 0b101
+    assert out[0, 0, 0, 0] == 10 and out[2, 0, 0, 0] == 30
+    assert out[1].sum() == 0  # empty ring left untouched
+
+
+def test_gather_batch_python_fallback():
+    from tti.native import gather_batch
+
+    rings = [FrameRing(4, SHAPE, native=False) for _ in range(2)]
+    rings[1].push(_frame(7))
+    out = np.zeros((2, *SHAPE), np.uint8)
+    mask = gather_batch(rings, out)
+    assert mask == 0b10
+    assert out[1, 0, 0, 0] == 7

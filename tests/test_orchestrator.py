@@ -154,3 +154,35 @@ def test_measurement_dict_contract():
     assert d["stitch_count"] == 0
     assert d["error"] == ERR_NO_FABRIC
     assert "timestamp" in d
+
+
+def test_camera_reconnect_after_strikes(tmp_path):
+    """10 consecutive failed reads trigger a source reconnect
+    (reference: main.py:189-199)."""
+
+    class FlakySource:
+        def __init__(self):
+            self.fails = 0
+            self.reconnects = 0
+            self.healthy = False
+
+        def read(self):
+            if self.healthy:
+                return True, np.zeros((32, 48, 3), np.uint8)
+            self.fails += 1
+            return False, None
+
+        def reconnect(self):
+            self.reconnects += 1
+            self.healthy = True
+
+        def release(self):
+            pass
+
+    orch = _orch(tmp_path, [(7.8, 4.9)] * 2, [1, 2])
+    orch.source = FlakySource()
+    orch.sleep = lambda s: None
+    orch.run(max_frames=1)
+    assert orch.source.reconnects == 1
+    assert orch.source.fails >= 10
+    assert orch.frame_count == 1

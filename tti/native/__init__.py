@@ -57,8 +57,33 @@ def _load_library() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.tti_ring_gather_batch.restype = ctypes.c_uint64
+        lib.tti_ring_gather_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
+
+
+def gather_batch(rings: "list[FrameRing]", out: np.ndarray) -> int:
+    """Copy the freshest frame from each ring into the contiguous batch ``out``
+    (S, *frame_shape) with ONE native call (no per-stream Python overhead).
+    Returns a bitmask of rings that had a frame. Falls back to per-ring
+    snapshots when any ring is non-native."""
+    lib = _load_library()
+    if lib is None or not all(r.native for r in rings):
+        mask = 0
+        for i, ring in enumerate(rings):
+            snap = ring.snapshot(1)
+            if snap.shape[0]:
+                out[i] = snap[0]
+                mask |= 1 << i
+        return mask
+    handles = (ctypes.c_void_p * len(rings))(*[r._handle for r in rings])
+    return int(lib.tti_ring_gather_batch(
+        handles, len(rings), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    ))
 
 
 class FrameRing:

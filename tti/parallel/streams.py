@@ -97,15 +97,13 @@ class MultiStreamRunner:
         return False
 
     def assemble_batch(self) -> np.ndarray:
-        """One freshest frame per stream, stream-major (S, H, W, 3)."""
+        """One freshest frame per stream, stream-major (S, H, W, 3) — one
+        native gather call over all rings (tti.native.gather_batch)."""
+        from tti.native import gather_batch
+
         s = len(self.workers)
-        batch = np.empty((s, self.frame_hw[0], self.frame_hw[1], 3), np.uint8)
-        for i, w in enumerate(self.workers):
-            snap = w.ring.snapshot(1)
-            if snap.shape[0] == 0:
-                batch[i] = 0
-            else:
-                batch[i] = snap[0]
+        batch = np.zeros((s, self.frame_hw[0], self.frame_hw[1], 3), np.uint8)
+        gather_batch([w.ring for w in self.workers], batch)
         return batch
 
     def step(self):
