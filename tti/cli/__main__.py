@@ -274,6 +274,26 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Live camera view (reference: Utils/usb_camera.py). 'q' quits."""
+    import cv2
+
+    from tti.app.sources import OpenCVCameraSource
+
+    cfg = load_config(validate=False)
+    source = OpenCVCameraSource(cfg.camera)
+    try:
+        while True:
+            ok, frame = source.read()
+            if ok:
+                cv2.imshow("tti view (q to quit)", frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                return 0
+    finally:
+        source.release()
+        cv2.destroyAllWindows()
+
+
 def cmd_eval(args) -> int:
     """Evaluate weights on a YOLO-format dataset: box + mask mAP50/50-95."""
     import numpy as np
@@ -469,6 +489,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
     p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("view", help="live camera view")
+    p.set_defaults(func=cmd_view)
 
     p = sub.add_parser("eval", help="box+mask mAP on a YOLO-format dataset")
     p.add_argument("--images", required=True)
