@@ -5,12 +5,18 @@ The reference's operator workflows are scattered standalone scripts
 Utils/usb_camera.py, plus `python main.py` / `python calibration.py` entries);
 here they are subcommands of one CLI:
 
-  python -m tti.cli calibrate  --intrinsics camera_calibration.json
-  python -m tti.cli run        [--images DIR] [--max-frames N]
-  python -m tti.cli check-model --images DIR --weights W  (annotated dump)
-  python -m tti.cli capture    --out DIR --interval 2     (dataset capture)
-  python -m tti.cli convert    --pt model.pt --out model.ckpt
-  python -m tti.cli bench      (same harness as bench.py)
+  python -m tti.cli calibrate             (extrinsic ChArUco calibration)
+  python -m tti.cli calibrate-intrinsics  (intrinsics from board views)
+  python -m tti.cli run                   [--images DIR | --synthetic]
+                                          [--cameras N] [--max-frames N]
+  python -m tti.cli check-model --images DIR  (annotated detection dump)
+  python -m tti.cli capture     --out DIR     (timed dataset capture)
+  python -m tti.cli view                      (live camera view)
+  python -m tti.cli tune-camera [--set exposure=3.5 ...]
+  python -m tti.cli train       --images DIR  (in-framework training)
+  python -m tti.cli eval        --images DIR  (box+mask mAP)
+  python -m tti.cli convert     --pt model.pt --out model.ckpt
+  python -m tti.cli bench                     (same harness as bench.py)
 """
 
 from __future__ import annotations
@@ -274,24 +280,35 @@ def cmd_convert(args) -> int:
     return 0
 
 
-def cmd_view(args) -> int:
-    """Live camera view (reference: Utils/usb_camera.py). 'q' quits."""
+def _show_loop(source, window: str, on_no_frame: str = "break") -> int:
+    """Shared read/imshow/'q' loop for the live-view tools. on_no_frame:
+    'break' exits on the first failed read (reference Utils/usb_camera.py
+    semantics); 'skip' keeps polling (tuning tools)."""
     import cv2
 
-    from tti.app.sources import OpenCVCameraSource
-
-    cfg = load_config(validate=False)
-    source = OpenCVCameraSource(cfg.camera)
     try:
         while True:
             ok, frame = source.read()
             if ok:
-                cv2.imshow("tti view (q to quit)", frame)
+                cv2.imshow(window, frame)
+            elif on_no_frame == "break":
+                log.error("no frame from camera")
+                return 1
             if cv2.waitKey(1) & 0xFF == ord("q"):
                 return 0
+    except KeyboardInterrupt:
+        return 0
     finally:
         source.release()
         cv2.destroyAllWindows()
+
+
+def cmd_view(args) -> int:
+    """Live camera view (reference: Utils/usb_camera.py). 'q' quits."""
+    from tti.app.sources import OpenCVCameraSource
+
+    cfg = load_config(validate=False)
+    return _show_loop(OpenCVCameraSource(cfg.camera), "tti view (q to quit)")
 
 
 def cmd_eval(args) -> int:
@@ -373,15 +390,12 @@ def cmd_tune_camera(args) -> int:
             current = int(max(0, cap.get(prop)))
             cv2.createTrackbar(name, window, current, 255,
                                lambda v, p=prop: cap.set(p, float(v)))
-        while True:
-            ok, frame = source.read()
-            if ok:
-                cv2.imshow(window, frame)
-            if cv2.waitKey(1) & 0xFF == ord("q"):
-                break
-        cv2.destroyAllWindows()
-        return 0
+        # Keep polling through dropped frames: exposure changes commonly stall
+        # a read or two mid-adjustment.
+        return _show_loop(source, window, on_no_frame="skip")
     finally:
+        # _show_loop releases on its paths; this covers the --set early return
+        # (double release is harmless on cv2 captures).
         source.release()
 
 
