@@ -104,3 +104,22 @@ def test_pipeline_sharded_over_mesh(rng):
     outs = pipeline.process_batch(frames)
     assert outs.boxes_frame.shape == (8, 8, 4)
     assert np.asarray(outs.measurements.n_stitches).shape == (8,)
+
+
+def test_undistorting_pipeline_zeroes_measurement_distortion():
+    """Rectified frames put all downstream coordinates in ideal pinhole space —
+    the measurement geometry must NOT apply the distortion inverse again
+    (regression: double undistortion skewed mm values)."""
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      max_detections=8)
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=IMGSZ)
+    rectified = InspectionPipeline(model_cfg=cfg, variables=variables,
+                                   frame_hw=FRAME_HW, calibration=_calib(),
+                                   model=model, undistort=True)
+    raw = InspectionPipeline(model_cfg=cfg, variables=variables,
+                             frame_hw=FRAME_HW, calibration=_calib(),
+                             model=model, undistort=False)
+    assert float(jnp.abs(rectified.cam.dist).max()) == 0.0
+    assert float(jnp.abs(raw.cam.dist).max()) > 0.0
+    assert rectified.remap_xy is not None and raw.remap_xy is None

@@ -277,6 +277,11 @@ class Orchestrator:
         except ImportError:
             return None
         outs = result["outputs"]
+        # When the pipeline rectifies frames, its geometry is in undistorted
+        # frame coordinates — draw on an undistorted copy so overlays line up.
+        calib = getattr(self.pipeline, "calibration", None)
+        if getattr(self.pipeline, "remap_xy", None) is not None and calib is not None:
+            frame = cv2.undistort(frame, calib.K, calib.dist)
         hud = []
         if result["valid"]:
             hud.append(
@@ -313,20 +318,26 @@ class Orchestrator:
         """The measurement loop (reference: main.py:187-329)."""
         last_inference = 0.0
         reconnect_attempts = 0
+        reconnect_cycles = 0
         try:
             while True:
                 ok, frame = self.source.read()
                 if not ok:
                     reconnect_attempts += 1
-                    if max_frames is not None and reconnect_attempts > MAX_RECONNECT_ATTEMPTS:
-                        break  # bounded runs (tests/replay) stop at source end
                     if reconnect_attempts >= MAX_RECONNECT_ATTEMPTS:
+                        # Bounded runs (tests/replay): if one reconnect didn't
+                        # restore frames, the source is exhausted — stop instead
+                        # of spinning forever.
+                        if max_frames is not None and reconnect_cycles >= 1:
+                            break
                         log.warning("camera disconnected — reconnecting")
                         self.source.reconnect()
                         reconnect_attempts = 0
+                        reconnect_cycles += 1
                     self.sleep(0.1)
                     continue
                 reconnect_attempts = 0
+                reconnect_cycles = 0
 
                 now = self.clock()
                 if now - last_inference >= self.config.runtime.inference_interval_s:

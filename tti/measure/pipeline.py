@@ -183,10 +183,11 @@ def prepare_frame_inputs(
     Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool).
     """
     from tti.kernels.maskstats import instance_mask_stats
+    from tti.preprocess.letterbox import scale_boxes_to_frame
 
     input_hw = (spec.dst_h, spec.dst_w)
     wm = protos.shape[1]
-    boxes_frame = _boxes_to_frame(dets.boxes, spec)
+    boxes_frame = scale_boxes_to_frame(dets.boxes, spec)
     in_roi = roi_center_gate(boxes_frame, roi_bounds) & dets.valid
 
     is_stitch = in_roi & (dets.classes == stitch_class_id)
@@ -237,12 +238,6 @@ def prepare_frame_inputs(
         valid=sel_valid,
     )
     return stitches, envelope, fabric_any
-
-
-def _boxes_to_frame(boxes: Array, spec: LetterboxSpec) -> Array:
-    shift = jnp.array([spec.pad_left, spec.pad_top, spec.pad_left, spec.pad_top], boxes.dtype)
-    limit = jnp.array([spec.src_w, spec.src_h, spec.src_w, spec.src_h], boxes.dtype)
-    return jnp.clip((boxes - shift) / spec.scale, 0.0, limit)
 
 
 # ---------------------------------------------------------------------------

@@ -41,8 +41,15 @@ def _load_library() -> ctypes.CDLL | None:
                 )
                 log.info("compiled %s", _LIB_PATH)
             except (subprocess.SubprocessError, FileNotFoundError) as e:
-                log.warning("native build failed (%s); using python fallback", e)
-                return None
+                # mtimes are not preserved by git checkout, so a shipped .so
+                # can look stale on a box without a compiler — load it anyway
+                # rather than silently degrading to the Python ring.
+                if os.path.exists(_LIB_PATH):
+                    log.warning("native rebuild failed (%s); using existing %s",
+                                e, _LIB_PATH)
+                else:
+                    log.warning("native build failed (%s); using python fallback", e)
+                    return None
         lib = ctypes.CDLL(_LIB_PATH)
         lib.tti_ring_create.restype = ctypes.c_void_p
         lib.tti_ring_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
@@ -62,6 +69,8 @@ def _load_library() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.tti_ring_dropped.restype = ctypes.c_uint64
+        lib.tti_ring_dropped.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -130,6 +139,13 @@ class FrameRing:
             return int(self._lib.tti_ring_head(self._handle))
         with self._lock:
             return self._pushed
+
+    def dropped(self) -> int:
+        """Frames overwritten before being part of any snapshot window."""
+        if self._lib is not None:
+            return int(self._lib.tti_ring_dropped(self._handle))
+        with self._lock:
+            return max(0, self._pushed - self.capacity)
 
     def snapshot(self, count: int) -> np.ndarray:
         """Newest `count` frames, oldest-first, as one contiguous

@@ -61,19 +61,28 @@ void* tti_ring_create(int64_t capacity, int64_t frame_bytes) {
 
 void tti_ring_destroy(void* handle) { delete static_cast<Ring*>(handle); }
 
-// Push one frame (producer thread). Overwrites the oldest slot when full.
+// Push one frame (single producer per ring). Overwrites the oldest slot when
+// full. head is PUBLISHED only after the slot write completes, so a reader
+// that observes head > id also observes slot id fully written (release/acquire
+// pairing on head) — publishing first would let a reader accept an unwritten
+// slot as a clean frame.
 void tti_ring_push(void* handle, const uint8_t* frame, int64_t timestamp_ns) {
   auto* ring = static_cast<Ring*>(handle);
-  const uint64_t id = ring->head.fetch_add(1, std::memory_order_acq_rel);
+  const uint64_t id = ring->head.load(std::memory_order_relaxed);
   Slot& slot = ring->slots[id % ring->capacity];
-  slot.seq.fetch_add(1, std::memory_order_acquire);  // -> odd: writing
+  slot.seq.fetch_add(1, std::memory_order_acq_rel);  // -> odd: writing
   std::memcpy(ring->frame_ptr(id % ring->capacity), frame, ring->frame_bytes);
   slot.frame_id = id;
   slot.timestamp_ns = timestamp_ns;
   slot.seq.fetch_add(1, std::memory_order_release);  // -> even: stable
   if (id >= static_cast<uint64_t>(ring->capacity)) {
-    ring->dropped.fetch_add(0, std::memory_order_relaxed);
+    ring->dropped.fetch_add(1, std::memory_order_relaxed);
   }
+  ring->head.store(id + 1, std::memory_order_release);
+}
+
+uint64_t tti_ring_dropped(void* handle) {
+  return static_cast<Ring*>(handle)->dropped.load(std::memory_order_relaxed);
 }
 
 uint64_t tti_ring_head(void* handle) {
@@ -102,7 +111,11 @@ int64_t tti_ring_snapshot(void* handle, uint8_t* out, int64_t count,
       std::memcpy(out + i * ring->frame_bytes, ring->frame_ptr(id % ring->capacity),
                   ring->frame_bytes);
       const uint64_t id_seen = slot.frame_id;
-      const uint64_t seq1 = slot.seq.load(std::memory_order_acquire);
+      // Fence: the memcpy's loads must complete before seq is revalidated —
+      // an acquire LOAD alone only orders later operations, so on weakly
+      // ordered CPUs (aarch64) a torn frame could pass seq0 == seq1 without it.
+      std::atomic_thread_fence(std::memory_order_acquire);
+      const uint64_t seq1 = slot.seq.load(std::memory_order_relaxed);
       if (seq0 == seq1) {
         if (frame_ids) frame_ids[i] = id_seen;
         break;  // clean read (possibly of a newer overwrite — still a frame)

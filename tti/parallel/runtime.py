@@ -47,7 +47,9 @@ Array = jax.Array
 class PipelineOutputs:
     """Host-side results for one batch (numpy)."""
 
-    boxes_frame: np.ndarray  # (B, D, 4) xyxy in source-frame px
+    boxes_frame: np.ndarray  # (B, D, 4) xyxy in frame px (RECTIFIED frame
+    # coordinates when the pipeline undistorts — overlay on a host-undistorted
+    # frame, see Orchestrator.save_annotated_frame)
     scores: np.ndarray
     classes: np.ndarray
     valid: np.ndarray
@@ -122,6 +124,7 @@ class InspectionPipeline:
 
         self.cam: CameraParams | None = None
         self.remap_xy: Array | None = None
+        self.calibration = calibration
         if calibration is not None:
             self.cam = CameraParams.from_calibration(calibration)
             if undistort:
@@ -135,6 +138,12 @@ class InspectionPipeline:
                     small_map, (self.spec.dst_h, self.spec.dst_w),
                     interp=undistort_interp,
                 )
+                # Frames are rectified before the model, so every downstream
+                # pixel coordinate lives in IDEAL (pinhole) frame coordinates
+                # under the original K. The measurement geometry must therefore
+                # run with ZERO distortion — keeping the real coefficients here
+                # would undistort a second time and skew the mm values.
+                self.cam = self.cam.replace(dist=jnp.zeros(5, jnp.float32))
 
         self._step = self._build_step()
 

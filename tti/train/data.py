@@ -162,6 +162,16 @@ def batches(
     ``epochs`` bounds it."""
     import jax.numpy as jnp
 
+    if len(samples) < batch_size:
+        raise ValueError(
+            f"dataset has {len(samples)} images but batch_size={batch_size}; "
+            "training would silently run zero steps"
+        )
+    remainder = len(samples) % batch_size
+    if remainder:
+        log.info("dropping %d trailing images per epoch (dataset %% batch_size)",
+                 remainder)
+
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
