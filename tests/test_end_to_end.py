@@ -116,3 +116,70 @@ def test_trained_pipeline_detects_and_measures(trained_variables):
     finite = np.isfinite(edges)
     if finite.any():
         assert 1.0 < edges[finite].min() < 200.0
+
+
+def test_rectified_pipeline_matches_ideal(trained_variables):
+    """System-level check of the rectification path: synthetically distorted
+    frames through the undistort=True pipeline must yield the same detections
+    and mm measurements as the ideal frames through undistort=False
+    (regression for the double-undistortion bug)."""
+    import jax.numpy as jnp
+
+    from tti.calib.geometry import undistort_points
+    from tti.calib.io import CalibrationData
+    from tti.core.config import MeasureConfig, ModelConfig
+    from tti.parallel.runtime import InspectionPipeline
+
+    K = np.array([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1.0]])
+    dist = np.array([0.3, 0.0, 0.0, 0.0, 0.0])  # mild barrel distortion
+    calib_d = CalibrationData(K=K, dist=dist, rvec=np.zeros(3),
+                              tvec=np.array([0.0, 0.0, 0.2]))
+    calib_0 = CalibrationData(K=K, dist=np.zeros(5), rvec=np.zeros(3),
+                              tvec=np.array([0.0, 0.0, 0.2]))
+
+    # Synthesize what the distorted camera would capture of each ideal scene:
+    # distorted(q) = ideal(project(undistort(q))) — then cv2.remap samples it.
+    qx, qy = np.meshgrid(np.arange(IMGSZ, dtype=np.float64),
+                         np.arange(IMGSZ, dtype=np.float64))
+    q = np.stack([qx, qy], -1).reshape(-1, 2)
+    xy = np.asarray(undistort_points(jnp.asarray(q, jnp.float32),
+                                     jnp.asarray(K, jnp.float32),
+                                     jnp.asarray(dist, jnp.float32), iters=12))
+    src = xy * np.array([K[0, 0], K[1, 1]]) + np.array([K[0, 2], K[1, 2]])
+    map_x = src[:, 0].reshape(IMGSZ, IMGSZ).astype(np.float32)
+    map_y = src[:, 1].reshape(IMGSZ, IMGSZ).astype(np.float32)
+
+    rng = np.random.default_rng(1234)
+    ideal = np.stack([_scene(rng)[0] for _ in range(2)])
+    distorted = np.stack([
+        cv2.remap(f, map_x, map_y, cv2.INTER_LINEAR, borderValue=(30, 30, 30))
+        for f in ideal
+    ])
+
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      conf_thresh=0.25, max_detections=16)
+    mc = MeasureConfig(min_stitches=2, max_stitches=8)
+    pipe_ideal = InspectionPipeline(model_cfg=cfg, variables=trained_variables,
+                                    frame_hw=FRAME_HW, calibration=calib_0,
+                                    measure_cfg=mc, undistort=False)
+    pipe_rect = InspectionPipeline(model_cfg=cfg, variables=trained_variables,
+                                   frame_hw=FRAME_HW, calibration=calib_d,
+                                   measure_cfg=mc, undistort=True)
+
+    out_i = pipe_ideal.process_batch(ideal)
+    out_r = pipe_rect.process_batch(distorted)
+
+    n_i = out_i.valid.sum(axis=1)
+    n_r = out_r.valid.sum(axis=1)
+    assert np.all(n_i >= 2), f"ideal pipeline found too few: {n_i}"
+    # Rectified pipeline sees (approximately) the ideal image back.
+    assert np.all(n_r >= 1), f"rectified pipeline found too few: {n_r}"
+
+    e_i = np.asarray(out_i.measurements.raw_edge_mm)
+    e_r = np.asarray(out_r.measurements.raw_edge_mm)
+    both = np.isfinite(e_i) & np.isfinite(e_r)
+    if both.any():
+        # Same physical scene, same plane: mm values agree within resampling
+        # tolerance. Before the double-undistortion fix this diverged by the
+        # full distortion displacement.
+        np.testing.assert_allclose(e_r[both], e_i[both], rtol=0.2, atol=2.0)
