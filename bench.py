@@ -36,7 +36,7 @@ def main() -> None:
     from tti.parallel.runtime import InspectionPipeline
 
     frame_h, frame_w = 1080, 1920
-    batch = int(__import__("os").environ.get("TTI_BENCH_BATCH", "16"))
+    batch = int(__import__("os").environ.get("TTI_BENCH_BATCH", "128"))
     imgsz = 640
 
     # Deployment intrinsics scaled to the 1080p sensor grid + real extrinsics.

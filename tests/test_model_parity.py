@@ -158,3 +158,24 @@ def test_fused_head_entry_exact(rng):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(b.mcoef[lvl]), np.asarray(a.mcoef[lvl]),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_folded_bn_exact(rng):
+    """BatchNorm folding into conv weights+bias is exact at inference."""
+    from tti.model.convert import fold_batchnorm
+
+    _, jmodel, variables = _build_pair("n")
+    folded_vars = fold_batchnorm(variables)
+    assert "batch_stats" not in folded_vars
+    jmodel_f = YOLOv8Seg(variant="n", nc=2, dtype=jnp.float32, folded_bn=True)
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    a = jmodel.apply(variables, x, train=False)
+    b = jmodel_f.apply(folded_vars, x, train=False)
+    for lvl in range(3):
+        np.testing.assert_allclose(np.asarray(b.cls[lvl]), np.asarray(a.cls[lvl]),
+                                   atol=5e-4, rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(b.box[lvl]), np.asarray(a.box[lvl]),
+                                   atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(b.protos), np.asarray(a.protos),
+                               atol=5e-4, rtol=5e-4)

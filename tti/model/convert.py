@@ -238,6 +238,45 @@ def fuse_head_entries(variables: Tree) -> Tree:
     return {"params": params, "batch_stats": stats}
 
 
+def fold_batchnorm(variables: Tree) -> Tree:
+    """Fold every Conv-block BatchNorm into the conv's weights and a new bias
+    (the canonical inference transform): W' = W * s/sqrt(v+eps),
+    b' = beta - m * s/sqrt(v+eps). Returns {'params': ...} with no 'bn' nodes
+    and no batch_stats; exact at fp32 (test_model_parity)."""
+    eps = 1e-3  # matches the BatchNorm epsilon in tti.model.layers.Conv
+
+    def fold(params: Tree, stats: Tree) -> Tree:
+        out: Tree = {}
+        for key, node in params.items():
+            if not isinstance(node, dict):
+                out[key] = node
+                continue
+            if "conv" in node and "bn" in node and "kernel" in node.get("conv", {}):
+                kernel = np.asarray(node["conv"]["kernel"], np.float64)
+                scale = np.asarray(node["bn"]["scale"], np.float64)
+                beta = np.asarray(node["bn"]["bias"], np.float64)
+                mean = np.asarray(stats[key]["bn"]["mean"], np.float64)
+                var = np.asarray(stats[key]["bn"]["var"], np.float64)
+                g = scale / np.sqrt(var + eps)
+                folded = dict(node)
+                folded["conv"] = {
+                    "kernel": (kernel * g).astype(np.float32),
+                    "bias": (beta - mean * g).astype(np.float32),
+                }
+                folded.pop("bn")
+                # Recurse into any nested blocks alongside conv/bn (e.g. C2f).
+                rest = {k: v for k, v in folded.items() if k not in ("conv",)}
+                if any(isinstance(v, dict) for v in rest.values()):
+                    inner = fold(rest, stats.get(key, {}))
+                    folded.update(inner)
+                out[key] = folded
+            else:
+                out[key] = fold(node, stats.get(key, {}))
+        return out
+
+    return {"params": fold(dict(variables["params"]), dict(variables["batch_stats"]))}
+
+
 def save_checkpoint(variables: Tree, path: str, metadata: dict | None = None) -> None:
     """Serialize flax variables (+ JSON metadata sidecar) to msgpack."""
     import json

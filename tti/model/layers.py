@@ -44,6 +44,7 @@ class Conv(nn.Module):
     act: bool = True
     dtype: Dtype = jnp.float32
     pad: int | None = None
+    folded: bool = False  # inference: BN folded into conv weights+bias
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -54,20 +55,21 @@ class Conv(nn.Module):
             strides=(self.s, self.s),
             padding=[(p, p), (p, p)],
             kernel_dilation=(self.d, self.d),
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        # torch BatchNorm2d(eps=1e-3, momentum=0.03): flax momentum = 1 - 0.03.
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        if not self.folded:
+            # torch BatchNorm2d(eps=1e-3, momentum=0.03): flax momentum = 1 - 0.03.
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
         return nn.silu(x) if self.act else x
 
 
@@ -78,12 +80,13 @@ class Bottleneck(nn.Module):
     shortcut: bool = True
     e: float = 1.0
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_hidden = int(self.c2 * self.e)
-        y = Conv(c_hidden, 3, 1, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, 3, 1, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             y = x + y
         return y
@@ -97,18 +100,20 @@ class C2f(nn.Module):
     shortcut: bool = False
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = int(self.c2 * self.e)
-        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
         y1, y2 = jnp.split(y, 2, axis=-1)
         outs = [y1, y2]
         prev = y2
         for i in range(self.n):
-            prev = Bottleneck(c, self.shortcut, e=1.0, dtype=self.dtype, name=f"m{i}")(prev, train)
+            prev = Bottleneck(c, self.shortcut, e=1.0, dtype=self.dtype,
+                              folded=self.folded, name=f"m{i}")(prev, train)
             outs.append(prev)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+        return Conv(self.c2, 1, 1, dtype=self.dtype, folded=self.folded, name="cv2")(
             jnp.concatenate(outs, axis=-1), train
         )
 
@@ -119,11 +124,12 @@ class SPPF(nn.Module):
     c2: int
     k: int = 5
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_hidden = x.shape[-1] // 2
-        y = Conv(c_hidden, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(c_hidden, 1, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
         p = self.k // 2
         pools = [y]
         for _ in range(3):
@@ -132,7 +138,7 @@ class SPPF(nn.Module):
                     pools[-1], (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)]
                 )
             )
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+        return Conv(self.c2, 1, 1, dtype=self.dtype, folded=self.folded, name="cv2")(
             jnp.concatenate(pools, axis=-1), train
         )
 
@@ -143,10 +149,11 @@ class Proto(nn.Module):
     c_hidden: int
     nm: int = 32
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
         x = nn.ConvTranspose(
             self.c_hidden,
             (2, 2),
@@ -157,8 +164,8 @@ class Proto(nn.Module):
             param_dtype=jnp.float32,
             name="upsample",
         )(x)
-        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.nm, 1, 1, dtype=self.dtype, name="cv3")(x, train)
+        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2")(x, train)
+        return Conv(self.nm, 1, 1, dtype=self.dtype, folded=self.folded, name="cv3")(x, train)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

@@ -99,12 +99,17 @@ class InspectionPipeline:
             # 64/64/32-channel groups forces lane relayouts downstream.
             # Available for evaluation on other hardware via TTI_FUSED_HEAD=1.
             fuse_head = os.environ.get("TTI_FUSED_HEAD") == "1"
+            fold_bn = os.environ.get("TTI_FOLDED_BN") == "1"
             variables = stem_to_s2d(variables)
             if fuse_head:
                 variables = fuse_head_entries(variables)
+            if fold_bn:
+                from tti.model.convert import fold_batchnorm
+
+                variables = fold_batchnorm(variables)
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
-                s2d_stem=True, fused_head_entry=fuse_head,
+                s2d_stem=True, fused_head_entry=fuse_head, folded_bn=fold_bn,
             )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
