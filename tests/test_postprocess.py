@@ -135,3 +135,44 @@ def test_mask_iou_metric():
     assert float(mask_iou(a, b)) == pytest.approx(1.0)
     b2 = np.zeros((10, 10)); b2[2:7] = 1
     assert float(mask_iou(a, b2)) == pytest.approx(30 / 70, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_lazy_decode_matches_dense(seed):
+    """nms_from_raw (logit-ranked top-k, decode-after-gather) must reproduce
+    decode_predictions + batched_nms exactly on random raw heads."""
+    import jax.numpy as jnp
+
+    from tti.model.yolo import RawPredictions, REG_MAX
+    from tti.postprocess.decode import decode_predictions
+    from tti.postprocess.nms import nms_from_raw
+
+    rng = np.random.default_rng(seed)
+    b, nc, nm = 2, 2, 32
+    hw = ((16, 16), (8, 8), (4, 4))
+    mk = lambda c: tuple(
+        jnp.asarray(rng.normal(0, 2, (b, h, w, c)).astype(np.float32)) for h, w in hw
+    )
+    raw = RawPredictions(
+        box=mk(4 * REG_MAX), cls=mk(nc), mcoef=mk(nm),
+        protos=jnp.zeros((b, 32, 32, nm), np.float32),
+    )
+
+    boxes, probs, coefs = decode_predictions(raw)
+    dense = batched_nms(boxes, probs, coefs, conf_thresh=0.20, iou_thresh=0.25,
+                        max_det=50, pre_topk=128)
+    lazy = nms_from_raw(raw, conf_thresh=0.20, iou_thresh=0.25, max_det=50,
+                        pre_topk=128)
+
+    assert np.array_equal(np.asarray(dense.valid), np.asarray(lazy.valid))
+    v = np.asarray(dense.valid)
+    np.testing.assert_allclose(
+        np.asarray(dense.boxes)[v], np.asarray(lazy.boxes)[v], rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.scores)[v], np.asarray(lazy.scores)[v], rtol=0, atol=1e-6
+    )
+    assert np.array_equal(np.asarray(dense.classes)[v], np.asarray(lazy.classes)[v])
+    np.testing.assert_allclose(
+        np.asarray(dense.coefs)[v], np.asarray(lazy.coefs)[v], rtol=0, atol=1e-5
+    )

@@ -109,8 +109,11 @@ def cmd_run(args) -> int:
         source = DirectorySource(args.images, loop=args.loop)
         frame_hw = _probe_hw(source)
     elif args.synthetic:
-        source = SyntheticSource(cfg.camera.height, cfg.camera.width,
-                                 count=args.max_frames)
+        # Unbounded source: the orchestrator's inference cadence skips frames
+        # between measurements, so bounding the SOURCE at max_frames would end
+        # the run after fewer than max_frames PROCESSED frames. The
+        # orchestrator's own frame counter terminates the run.
+        source = SyntheticSource(cfg.camera.height, cfg.camera.width)
         frame_hw = (cfg.camera.height, cfg.camera.width)
     else:
         source = OpenCVCameraSource(cfg.camera)

@@ -99,7 +99,10 @@ class InspectionPipeline:
             # 64/64/32-channel groups forces lane relayouts downstream.
             # Available for evaluation on other hardware via TTI_FUSED_HEAD=1.
             fuse_head = os.environ.get("TTI_FUSED_HEAD") == "1"
-            fold_bn = os.environ.get("TTI_FOLDED_BN") == "1"
+            # BatchNorm folding is exact (test_folded_bn_exact) and measured
+            # faster (1737 vs 1703 frames/s at batch 128; single-frame p50
+            # 8.7 vs 16.7 ms) -> default ON; TTI_FOLDED_BN=0 opts out.
+            fold_bn = os.environ.get("TTI_FOLDED_BN", "1") != "0"
             variables = stem_to_s2d(variables)
             if fuse_head:
                 variables = fuse_head_entries(variables)
@@ -114,7 +117,12 @@ class InspectionPipeline:
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
         )
-        self.variables = variables
+        # Pin params on device once: weight transforms (and checkpoint loads)
+        # can leave numpy leaves in the tree, and a numpy tree is re-uploaded
+        # host->device on EVERY jitted call — catastrophic on relayed
+        # transports (measured 1703 -> 367 frames/s when fold_batchnorm left
+        # the whole tree in numpy).
+        self.variables = jax.device_put(variables)
 
         self.roi_bounds: tuple[float, float, float, float] | None = None
         if roi is not None and roi.enabled:
@@ -163,6 +171,12 @@ class InspectionPipeline:
         return_masks = self.return_masks
         remap_xy = self.remap_xy
         cam = self.cam
+        # Lazy decode: rank anchors by raw logit, decode DFL only for the
+        # top-k NMS candidates (exact — sigmoid is monotonic). Env-gated
+        # pending a TPU A/B at the production batch size.
+        import os
+
+        lazy_decode = os.environ.get("TTI_LAZY_DECODE") == "1"
 
         # Preprocess in the model's compute dtype: bf16 halves the resize's
         # HBM traffic, and the packed remap re-quantizes to 8 bits regardless.
@@ -174,15 +188,25 @@ class InspectionPipeline:
             else:
                 x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w), dtype=pre_dtype)
             raw = self.model.apply(variables, x, train=False)
-            boxes, probs, coefs = decode_predictions(raw)
-            dets = batched_nms(
-                boxes,
-                probs,
-                coefs,
-                conf_thresh=mcfg.conf_thresh,
-                iou_thresh=mcfg.iou_thresh,
-                max_det=mcfg.max_detections,
-            )
+            if lazy_decode:
+                from tti.postprocess.nms import nms_from_raw
+
+                dets = nms_from_raw(
+                    raw,
+                    conf_thresh=mcfg.conf_thresh,
+                    iou_thresh=mcfg.iou_thresh,
+                    max_det=mcfg.max_detections,
+                )
+            else:
+                boxes, probs, coefs = decode_predictions(raw)
+                dets = batched_nms(
+                    boxes,
+                    probs,
+                    coefs,
+                    conf_thresh=mcfg.conf_thresh,
+                    iou_thresh=mcfg.iou_thresh,
+                    max_det=mcfg.max_detections,
+                )
 
             outs: dict[str, Any] = {"dets": dets}
 
@@ -276,6 +300,9 @@ class DualPipeline:
     def _build(self):
         spec = self.primary.spec
         remap_xy = self.primary.remap_xy
+        import os
+
+        lazy_decode = os.environ.get("TTI_LAZY_DECODE") == "1"
 
         def step(vars_a, vars_b, frames_u8):
             if remap_xy is not None:
@@ -285,6 +312,13 @@ class DualPipeline:
 
             def run(model, variables, mcfg):
                 raw = model.apply(variables, x, train=False)
+                if lazy_decode:
+                    from tti.postprocess.nms import nms_from_raw
+
+                    return nms_from_raw(
+                        raw, conf_thresh=mcfg.conf_thresh,
+                        iou_thresh=mcfg.iou_thresh, max_det=mcfg.max_detections,
+                    )
                 boxes, probs, coefs = decode_predictions(raw)
                 return batched_nms(
                     boxes, probs, coefs,

@@ -42,28 +42,18 @@ def box_iou_matrix(boxes: Array) -> Array:
     return inter / jnp.maximum(union, 1e-9)
 
 
-def _nms_single(
-    boxes: Array,
-    probs: Array,
-    coefs: Array,
-    conf_thresh: float,
+def _greedy_suppress(
+    cand_boxes: Array,
+    top_scores: Array,
+    cand_classes: Array,
+    cand_coefs: Array,
+    cand_ok: Array,
     iou_thresh: float,
     max_det: int,
-    pre_topk: int,
     class_aware: bool,
 ) -> Detections:
-    scores_all = jnp.max(probs, axis=-1)
-    classes_all = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-    conf_ok = scores_all >= conf_thresh
-    ranked = jnp.where(conf_ok, scores_all, -1.0)
-
-    k = min(pre_topk, ranked.shape[0])
-    top_scores, top_idx = jax.lax.top_k(ranked, k)
-    cand_boxes = boxes[top_idx]
-    cand_classes = classes_all[top_idx]
-    cand_coefs = coefs[top_idx]
-    cand_ok = top_scores > 0.0
-
+    """Greedy NMS over score-sorted candidates -> fixed (max_det,) Detections."""
+    k = cand_boxes.shape[0]
     iou = box_iou_matrix(cand_boxes)
     if class_aware:
         same_class = cand_classes[:, None] == cand_classes[None, :]
@@ -110,6 +100,29 @@ def _nms_single(
     )
 
 
+def _nms_single(
+    boxes: Array,
+    probs: Array,
+    coefs: Array,
+    conf_thresh: float,
+    iou_thresh: float,
+    max_det: int,
+    pre_topk: int,
+    class_aware: bool,
+) -> Detections:
+    scores_all = jnp.max(probs, axis=-1)
+    classes_all = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    conf_ok = scores_all >= conf_thresh
+    ranked = jnp.where(conf_ok, scores_all, -1.0)
+
+    k = min(pre_topk, ranked.shape[0])
+    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    return _greedy_suppress(
+        boxes[top_idx], top_scores, classes_all[top_idx], coefs[top_idx],
+        top_scores > 0.0, iou_thresh, max_det, class_aware,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_topk", "class_aware"),
@@ -136,3 +149,57 @@ def batched_nms(
         class_aware=class_aware,
     )
     return jax.vmap(fn)(boxes, probs, coefs)
+
+
+def nms_from_raw(
+    raw,
+    conf_thresh: float = 0.20,
+    iou_thresh: float = 0.25,
+    max_det: int = 200,
+    pre_topk: int = 512,
+    class_aware: bool = True,
+) -> Detections:
+    """Fused lazy decode + NMS: rank anchors by raw class LOGIT and decode DFL
+    boxes only for the top ``pre_topk`` candidates.
+
+    Equivalent to decode_predictions + batched_nms: sigmoid is strictly
+    monotonic, so ordering/thresholding on logits (against logit(conf_thresh))
+    selects the same candidate set in the same order; the DFL softmax
+    expectation is per-anchor, so decoding after the gather is exact. Saves the
+    (B, A, 4, REG_MAX) softmax + (B, A, 4) box assembly over all A anchors
+    (A=8400 at 640px) — only K=pre_topk rows are decoded.
+    """
+    import math
+
+    from tti.postprocess.decode import dfl_expectation, flatten_predictions, make_anchors
+
+    box_l, cls_l, coef_l, level_hw = flatten_predictions(raw)
+    anchors, stride_pa = make_anchors(level_hw)
+    if 0.0 < conf_thresh < 1.0:
+        logit_thresh = math.log(conf_thresh / (1.0 - conf_thresh))
+    else:
+        logit_thresh = -math.inf if conf_thresh <= 0.0 else math.inf
+
+    def single(box_logits, cls_logits, coefs):
+        best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+        classes_all = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+        ranked = jnp.where(best_logit >= logit_thresh, best_logit, -jnp.inf)
+
+        k = min(pre_topk, ranked.shape[0])
+        top_logits, top_idx = jax.lax.top_k(ranked, k)
+        cand_ok = jnp.isfinite(top_logits)
+        top_scores = jnp.where(cand_ok, jax.nn.sigmoid(top_logits), -1.0)
+
+        ltrb = dfl_expectation(box_logits[top_idx]) * stride_pa[top_idx][:, None]
+        cx, cy = anchors[top_idx, 0], anchors[top_idx, 1]
+        cand_boxes = jnp.stack(
+            [cx - ltrb[:, 0], cy - ltrb[:, 1], cx + ltrb[:, 2], cy + ltrb[:, 3]],
+            axis=-1,
+        )
+        return _greedy_suppress(
+            cand_boxes, top_scores, classes_all[top_idx],
+            coefs[top_idx].astype(jnp.float32), cand_ok,
+            iou_thresh, max_det, class_aware,
+        )
+
+    return jax.vmap(single)(box_l, cls_l, coef_l)
