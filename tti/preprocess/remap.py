@@ -174,14 +174,16 @@ class PackedRemap:
         mx = np.asarray(map_xy[..., 0], np.float64)
         my = np.asarray(map_xy[..., 1], np.float64)
 
-        # Letterbox pad rows map entirely out of bounds; optionally skip
-        # gathering them and emit static pad rows. Measured on v5e: the
-        # pad+concat costs MORE than the avoided gather (509 vs 573 frames/s
-        # e2e) — XLA loses fusion across the concatenate — so this stays
-        # disabled (full-height gather) unless TTI_REMAP_SKIP_PAD_ROWS=1.
+        # Letterbox pad rows map entirely out of bounds; skip gathering them
+        # and emit static pad rows instead. Default ON: at the production
+        # batch size the avoided gather rows (44% of the map for 16:9 in a
+        # square input) dominate the pad/concat cost — measured 2247 vs 1896
+        # frames/s e2e at batch 128 on v5e. (At batch 16 the same A/B read as
+        # a small loss — dispatch-floor noise.) TTI_REMAP_SKIP_PAD_ROWS=0
+        # opts out (full-height gather).
         import os
 
-        if os.environ.get("TTI_REMAP_SKIP_PAD_ROWS") == "1":
+        if os.environ.get("TTI_REMAP_SKIP_PAD_ROWS", "1") != "0":
             row_live = ~np.all(
                 (mx < -1) | (my < -1) | (mx >= w + 1) | (my >= h + 1), axis=1
             )
