@@ -153,3 +153,30 @@ def test_packed_remap_nearest(rng, ref_intrinsics):
     assert 0.0 <= out_n.min() and out_n.max() <= 1.0
     with pytest.raises(ValueError):
         PackedRemap(small_map, (64, 64), interp="bicubic")
+
+
+def test_unpadded_src_remap_matches_padded(ref_intrinsics, rng):
+    """Content-source remap (pack/gather over the unpadded resize) matches the
+    padded-source remap to f32 coordinate rounding (border taps resolve to the
+    pad word, whose value equals the letterbox pad pixel; shifting the map by
+    the pad offset re-rounds the f32 fractional parts by <=1 ulp)."""
+    from tti.preprocess.remap import (
+        PackedRemap, build_small_undistort_map, letterbox_then_undistort,
+    )
+
+    K, dist = ref_intrinsics
+    h, w = 96, 128
+    Ks = K.copy(); Ks[0] *= w / 1280; Ks[1] *= h / 960
+    spec = letterbox_spec(h, w, 64)
+    frames = jnp.asarray(rng.integers(0, 255, size=(2, h, w, 3), dtype=np.uint8))
+
+    padded = PackedRemap(build_small_undistort_map(Ks, dist, spec),
+                         (spec.dst_h, spec.dst_w))
+    content = PackedRemap(
+        build_small_undistort_map(Ks, dist, spec, unpadded_src=True),
+        (spec.new_h, spec.new_w),
+    )
+    ref = np.asarray(letterbox_then_undistort(frames, spec, padded))
+    got = np.asarray(letterbox_then_undistort(frames, spec, content))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)

@@ -145,10 +145,10 @@ class InspectionPipeline:
                 # small-operand undistort remap (see tti.preprocess.remap for
                 # the measured rationale of both choices).
                 small_map = build_small_undistort_map(
-                    calibration.K, calibration.dist, self.spec
+                    calibration.K, calibration.dist, self.spec, unpadded_src=True
                 )
                 self.remap_xy = PackedRemap(
-                    small_map, (self.spec.dst_h, self.spec.dst_w),
+                    small_map, (self.spec.new_h, self.spec.new_w),
                     interp=undistort_interp,
                 )
                 # Frames are rectified before the model, so every downstream

@@ -104,23 +104,35 @@ def _integer_decimation(spec: LetterboxSpec) -> int | None:
     return k
 
 
-def letterbox_u8(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
-    """Fused uint8-BGR -> normalized-RGB letterbox, with the integer-decimation
-    fast path (slice the uint8 input first, float math on the small image)."""
+def letterbox_content(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
+    """uint8 BGR -> normalized RGB resized CONTENT only (B, new_h, new_w, 3) —
+    the letterbox without its padding (with the integer-decimation fast path).
+    Used when the consumer supplies its own border handling (PackedRemap's
+    pad-word sentinel equals the letterbox pad value)."""
     k = _integer_decimation(spec)
     if k is not None:
         off = (k - 1) // 2
         small = frames_bgr_u8[:, off::k, off::k, :][:, : spec.new_h, : spec.new_w, :]
-        x = small[..., ::-1].astype(dtype) / 255.0
-        pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
-        pad_right = spec.dst_w - spec.new_w - spec.pad_left
-        return jnp.pad(
-            x,
-            ((0, 0), (spec.pad_top, pad_bottom), (spec.pad_left, pad_right), (0, 0)),
-            constant_values=jnp.asarray(PAD_VALUE / 255.0, dtype),
-        )
+        return small[..., ::-1].astype(dtype) / 255.0
     x = normalize(bgr_to_rgb(frames_bgr_u8), dtype)
-    return letterbox(x, spec, dtype)
+    b = frames_bgr_u8.shape[0]
+    return jax.image.resize(
+        x.astype(dtype), (b, spec.new_h, spec.new_w, 3), method="bilinear",
+        antialias=False,
+    )
+
+
+def letterbox_u8(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
+    """Fused uint8-BGR -> normalized-RGB letterbox, with the integer-decimation
+    fast path (slice the uint8 input first, float math on the small image)."""
+    resized = letterbox_content(frames_bgr_u8, spec, dtype)
+    pad_bottom = spec.dst_h - spec.new_h - spec.pad_top
+    pad_right = spec.dst_w - spec.new_w - spec.pad_left
+    return jnp.pad(
+        resized,
+        ((0, 0), (spec.pad_top, pad_bottom), (spec.pad_left, pad_right), (0, 0)),
+        constant_values=jnp.asarray(PAD_VALUE / 255.0, dtype),
+    )
 
 
 def preprocess_frames(

@@ -125,7 +125,9 @@ def scaled_intrinsics(K: np.ndarray, spec: LetterboxSpec) -> np.ndarray:
     return Ks
 
 
-def build_small_undistort_map(K: np.ndarray, dist: np.ndarray, spec: LetterboxSpec) -> np.ndarray:
+def build_small_undistort_map(
+    K: np.ndarray, dist: np.ndarray, spec: LetterboxSpec, unpadded_src: bool = False
+) -> np.ndarray:
     """Sampling map for undistorting the *letterboxed* image in place
     ((dst_h, dst_w) -> (dst_h, dst_w) source coords in letterboxed space).
 
@@ -141,7 +143,16 @@ def build_small_undistort_map(K: np.ndarray, dist: np.ndarray, spec: LetterboxSp
         src_h=spec.dst_h, src_w=spec.dst_w, dst_h=spec.dst_h, dst_w=spec.dst_w,
         scale=1.0, new_h=spec.dst_h, new_w=spec.dst_w, pad_top=0, pad_left=0,
     )
-    return build_undistort_letterbox_map(Ks, dist, ident)
+    m = build_undistort_letterbox_map(Ks, dist, ident)
+    if unpadded_src:
+        # Source coordinates relative to the UNPADDED resized content
+        # (letterbox_content): taps into the pad border go out of bounds and
+        # resolve to PackedRemap's pad word, which equals the letterbox pad
+        # value — bit-identical output, 44% smaller pack/gather operand for a
+        # 16:9 frame in a square input.
+        live = m > -1e5  # keep the out-of-content sentinel rows sentinel
+        m = np.where(live, m - np.array([spec.pad_left, spec.pad_top], np.float32), m)
+    return m
 
 
 def undistort_letterbox_frames(
@@ -267,10 +278,13 @@ def letterbox_then_undistort(
     """Two-stage production preprocess: fused flip+normalize+letterbox (with the
     integer-decimation fast path), then the small-operand undistort remap
     (packed-u32 fast path when given a PackedRemap; f32 remap when given a raw
-    map array)."""
-    from tti.preprocess.letterbox import letterbox_u8
+    map array). A PackedRemap built over the unpadded content
+    (build_small_undistort_map(unpadded_src=True)) skips materializing the
+    letterbox padding entirely."""
+    from tti.preprocess.letterbox import letterbox_content, letterbox_u8
 
-    x = letterbox_u8(frames_bgr_u8, spec, dtype)
     if isinstance(small_remap, PackedRemap):
-        return small_remap(x)
-    return remap_bilinear(x, jnp.asarray(small_remap))
+        if small_remap.src_hw == (spec.new_h, spec.new_w):
+            return small_remap(letterbox_content(frames_bgr_u8, spec, dtype))
+        return small_remap(letterbox_u8(frames_bgr_u8, spec, dtype))
+    return remap_bilinear(letterbox_u8(frames_bgr_u8, spec, dtype), jnp.asarray(small_remap))
