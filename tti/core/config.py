@@ -189,6 +189,7 @@ class MeasureConfig:
     skip_cluster: bool = False  # (reference: config.py:83)
     two_row_threshold_px: float = 30.0  # (reference: config.py:84)
     max_stitches: int = 64  # fixed-shape padding budget for per-stitch arrays (TPU static shapes)
+    max_stats_dets: int = 64  # top-score detections entering mask statistics (static slice)
     undistort_iters: int = 5  # fixed-point iterations; 5 == exact cv2.undistortPoints parity
 
 

@@ -163,6 +163,10 @@ def instance_mask_stats_xla(
     """Dense XLA reference with the identical contract (materializes the
     (D, Hm, Wm) mask tensor; used on CPU and as the test oracle)."""
     hm, wm, _ = protos.shape
+    # f32 einsum deliberately: a bf16-input einsum is exact only for
+    # bf16-origin values and measured SLOWER e2e anyway (2519 vs 2583
+    # frames/s at batch 128 — the threshold/reduction pass dominates, not
+    # the matmul), as did an h-first reduction restructure.
     logits = jnp.einsum(
         "dc,hwc->dhw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
         preferred_element_type=jnp.float32,

@@ -171,6 +171,7 @@ def prepare_frame_inputs(
     fabric_class_id: int,
     roi_bounds: tuple[float, float, float, float] | None,
     max_stitches: int,
+    max_stats_dets: int = 64,
 ) -> tuple[StitchSet, Array, Array]:
     """Single-frame glue: split classes, gate by ROI, build stitch statistics
     and the fabric envelope. All shapes static.
@@ -179,11 +180,20 @@ def prepare_frame_inputs(
     (tti.kernels.maskstats: Pallas on TPU, dense XLA elsewhere) — per-instance
     masks are never materialized on the measurement path.
 
+    max_stats_dets caps the detection rows entering the (D, Hm, Wm) mask-stats
+    reduction. NMS emits rows score-sorted, so the cap is a static slice of
+    the TOP detections — exact whenever a frame has <= max_stats_dets valid
+    detections (production scenes: tens), and it bounds the measure stage's
+    dominant tensor regardless of the NMS max_det budget.
+
     dets: single-frame Detections (D rows); protos (Hm, Wm, nm).
     Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool).
     """
     from tti.kernels.maskstats import instance_mask_stats
     from tti.preprocess.letterbox import scale_boxes_to_frame
+
+    if max_stats_dets and dets.boxes.shape[0] > max_stats_dets:
+        dets = jax.tree_util.tree_map(lambda a: a[:max_stats_dets], dets)
 
     input_hw = (spec.dst_h, spec.dst_w)
     wm = protos.shape[1]

@@ -214,7 +214,7 @@ class InspectionPipeline:
                 def per_frame(d: Detections, protos):
                     stitches, envelope, fabric_any = prepare_frame_inputs(
                         d, protos, spec, mcfg.stitch_class_id, mcfg.fabric_class_id,
-                        roi_bounds, cfg.max_stitches,
+                        roi_bounds, cfg.max_stitches, cfg.max_stats_dets,
                     )
                     meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg)
                     return meas, stitches, envelope
