@@ -196,6 +196,7 @@ class InspectionPipeline:
                     conf_thresh=mcfg.conf_thresh,
                     iou_thresh=mcfg.iou_thresh,
                     max_det=mcfg.max_detections,
+                    pre_topk=mcfg.nms_pre_topk,
                 )
             else:
                 boxes, probs, coefs = decode_predictions(raw)
@@ -206,6 +207,7 @@ class InspectionPipeline:
                     conf_thresh=mcfg.conf_thresh,
                     iou_thresh=mcfg.iou_thresh,
                     max_det=mcfg.max_detections,
+                    pre_topk=mcfg.nms_pre_topk,
                 )
 
             outs: dict[str, Any] = {"dets": dets}
