@@ -180,3 +180,34 @@ def test_unpadded_src_remap_matches_padded(ref_intrinsics, rng):
     got = np.asarray(letterbox_then_undistort(frames, spec, content))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_u8_decimated_pack_matches_float_path(ref_intrinsics, rng):
+    """The fused u8 decimating pack must be bit-identical to
+    letterbox_content + the float pack when the resize is an exact odd-integer
+    decimation."""
+    from tti.preprocess.remap import (
+        PackedRemap, build_small_undistort_map, letterbox_then_undistort,
+    )
+
+    K, dist = ref_intrinsics
+    h, w = 96, 192  # k=3 decimation to 64: content 32x64
+    Ks = K.copy(); Ks[0] *= w / 1280; Ks[1] *= h / 960
+    spec = letterbox_spec(h, w, 64)
+    frames = jnp.asarray(rng.integers(0, 255, size=(2, h, w, 3), dtype=np.uint8))
+    rm = PackedRemap(
+        build_small_undistort_map(Ks, dist, spec, unpadded_src=True),
+        (spec.new_h, spec.new_w),
+    )
+    import os
+    got = np.asarray(letterbox_then_undistort(frames, spec, rm))
+    old = os.environ.get("TTI_REMAP_U8_DECIMATE")
+    os.environ["TTI_REMAP_U8_DECIMATE"] = "0"
+    try:
+        ref = np.asarray(letterbox_then_undistort(frames, spec, rm))
+    finally:
+        if old is None:
+            del os.environ["TTI_REMAP_U8_DECIMATE"]
+        else:
+            os.environ["TTI_REMAP_U8_DECIMATE"] = old
+    np.testing.assert_array_equal(got, ref)

@@ -78,22 +78,13 @@ def letterbox(frames: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
     )
 
 
-def _integer_decimation(spec: LetterboxSpec) -> int | None:
+def decimation_stride(spec: LetterboxSpec) -> int | None:
     """If the resize is an exact odd-integer decimation whose bilinear sample
     positions land on source pixel centers, return the stride k, else None.
 
     With scale s = 1/k, output pixel i samples source (i + 0.5)k - 0.5 =
     ki + (k-1)/2 — an integer for odd k — so bilinear resize degenerates to a
-    strided slice. Counterintuitively this LOSES on v5e inside the fused
-    pipeline (514 vs 575 frames/s e2e): XLA already fuses the u8->float
-    conversion into the resize and only reads the needed samples, while a
-    strided uint8 slice forces an unfavorable relayout. Kept behind
-    TTI_LETTERBOX_DECIMATE=1 for evaluation on other hardware.
-    """
-    import os
-
-    if os.environ.get("TTI_LETTERBOX_DECIMATE") != "1":
-        return None
+    strided slice (1080p -> 640 letterbox is k=3)."""
     if spec.new_h == 0 or spec.new_w == 0:
         return None
     if spec.src_h % spec.new_h or spec.src_w % spec.new_w:
@@ -102,6 +93,22 @@ def _integer_decimation(spec: LetterboxSpec) -> int | None:
     if k != spec.src_w // spec.new_w or k < 2 or k % 2 == 0:
         return None
     return k
+
+
+def _integer_decimation(spec: LetterboxSpec) -> int | None:
+    """decimation_stride gated for the FLOAT letterbox path. Counterintuitively
+    the strided u8 slice LOSES there on v5e (514 vs 575 and 2787 vs 2915
+    frames/s e2e): XLA already fuses the u8->float conversion into the resize
+    and only reads the needed samples, while the standalone slice forces an
+    unfavorable relayout. Kept behind TTI_LETTERBOX_DECIMATE=1 for evaluation
+    on other hardware. (The packed-remap path fuses the decimation into its
+    u32 PACK instead, where it wins — see PackedRemap.pack_decimated_u8.)
+    """
+    import os
+
+    if os.environ.get("TTI_LETTERBOX_DECIMATE") != "1":
+        return None
+    return decimation_stride(spec)
 
 
 def letterbox_content(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
