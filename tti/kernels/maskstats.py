@@ -177,6 +177,8 @@ def instance_mask_stats_xla(
         (xs >= boxes_grid[:, 0, None, None]) & (xs < boxes_grid[:, 2, None, None])
         & (ys >= boxes_grid[:, 1, None, None]) & (ys < boxes_grid[:, 3, None, None])
     )
+    # (A bf16 mask with f32-accumulated sums is exact here but measured
+    # SLOWER — mixed-dtype reductions break the multi-output fusion.)
     mask = ((logits > 0.0) & inside & valid[:, None, None]).astype(jnp.float32)
     m00 = jnp.sum(mask, axis=(1, 2))
     m10 = jnp.sum(mask * xs, axis=(1, 2))

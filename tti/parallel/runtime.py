@@ -155,8 +155,14 @@ class InspectionPipeline:
                 # pixel coordinate lives in IDEAL (pinhole) frame coordinates
                 # under the original K. The measurement geometry must therefore
                 # run with ZERO distortion — keeping the real coefficients here
-                # would undistort a second time and skew the mm values.
+                # would undistort a second time and skew the mm values. With
+                # zero distortion the undistort fixed-point iterations are the
+                # identity, so skip them statically (iters=0 returns the
+                # initial normalized coords — exact).
+                import dataclasses as _dc
+
                 self.cam = self.cam.replace(dist=jnp.zeros(5, jnp.float32))
+                self.measure_cfg = _dc.replace(self.measure_cfg, undistort_iters=0)
 
         self._step = self._build_step()
 
