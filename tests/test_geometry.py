@@ -146,3 +146,26 @@ def test_batched_shapes(ref_intrinsics, ref_extrinsics):
                                    R, tvec.astype(np.float32))
     assert world.shape == (4, 17, 3)
     assert valid.shape == (4, 17)
+
+
+def test_local_mm_per_px_probe(ref_intrinsics, ref_extrinsics):
+    """The 10-px probe fallback (reference check_stitch_distance.py:502-507)
+    must agree with direct plane conversion: converting a segment of length
+    L px should give ~L * local_mm_per_px mm."""
+    import jax.numpy as jnp
+
+    from tti.calib.geometry import local_mm_per_px, pixels_to_plane_mm, rodrigues
+
+    K, dist = ref_intrinsics
+    rvec, tvec = ref_extrinsics
+    R = rodrigues(jnp.asarray(rvec))
+    t = jnp.asarray(tvec, jnp.float32)
+    uv = jnp.array([[640.0, 480.0], [400.0, 500.0]], jnp.float32)
+    scale, valid = local_mm_per_px(uv, K, dist, R, t)
+    assert bool(valid.all())
+    # Direct conversion of a 50 px horizontal segment.
+    a, va = pixels_to_plane_mm(uv, K, dist, R, t)
+    b, vb = pixels_to_plane_mm(uv + jnp.array([50.0, 0.0]), K, dist, R, t)
+    direct = jnp.linalg.norm(a - b, axis=-1) / 50.0
+    assert bool((va & vb).all())
+    np.testing.assert_allclose(np.asarray(scale), np.asarray(direct), rtol=0.02)

@@ -161,3 +161,23 @@ def project_points(points_w: Array, rvec: Array, tvec: Array, K: Array, dist: Ar
     pc = points_w @ R.T + t
     xy = pc[..., :2] / pc[..., 2:3]
     return distort_points(xy, K, dist)
+
+
+def local_mm_per_px(
+    uv: Array, K: Array, dist: Array, R: Array, t: Array,
+    probe_px: float = 10.0, iters: int = 5,
+) -> tuple[Array, Array]:
+    """Local mm-per-pixel scale at pixel(s) ``uv`` via a horizontal probe:
+    project uv and uv + (probe_px, 0) to the fabric plane and divide the world
+    distance by the probe length (the reference's px->mm fallback when direct
+    conversion is unavailable: check_stitch_distance.py:502-507).
+
+    Returns (scale_mm_per_px (...,), valid (...,) bool — both probe rays must
+    intersect the plane).
+    """
+    uv = jnp.asarray(uv, jnp.float32)
+    uv2 = uv + jnp.array([probe_px, 0.0], jnp.float32)
+    w1, v1 = pixels_to_plane_mm(uv, K, dist, R, t, iters=iters)
+    w2, v2 = pixels_to_plane_mm(uv2, K, dist, R, t, iters=iters)
+    dist_mm = jnp.linalg.norm(w1 - w2, axis=-1)
+    return dist_mm / probe_px, v1 & v2
