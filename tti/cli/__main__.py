@@ -160,25 +160,35 @@ def _run_multistream(args, cfg) -> int:
     pipeline = _load_pipeline(cfg, frame_hw, calibration)
     runner = MultiStreamRunner(pipeline, sources, frame_hw)
     runner.start()
+    batches = 0
     try:
         if not runner.wait_for_frames():
             log.error("streams produced no frames")
             return 1
-        batches = 0
         while args.max_frames is None or batches < args.max_frames:
             outs, results = runner.step()
-            for stream, meas in enumerate(results):
-                d = measurement_to_dict(meas)
-                log.info(
-                    "stream %d: edge=%s width=%s n=%d", stream,
-                    d["edge_distance_mm"], d["stitch_width_mm"], d["stitch_count"],
-                )
+            if results:
+                for stream, meas in enumerate(results):
+                    d = measurement_to_dict(meas)
+                    log.info(
+                        "stream %d: edge=%s width=%s n=%d", stream,
+                        d["edge_distance_mm"], d["stitch_width_mm"], d["stitch_count"],
+                    )
+            else:
+                # Detection-only (no calibration): report per-stream counts so
+                # a bounded smoke run is not silent.
+                for stream in range(len(sources)):
+                    log.info(
+                        "stream %d: %d detections", stream,
+                        int(outs.valid[stream].sum()),
+                    )
             batches += 1
             time.sleep(cfg.runtime.inference_interval_s)
     except KeyboardInterrupt:
         pass
     finally:
         runner.stop()
+        log.info("multistream shutdown: %d batches x %d streams", batches, len(sources))
     return 0
 
 
