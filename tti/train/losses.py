@@ -80,12 +80,24 @@ def seg_loss(
     coefs (A, nm); protos (Hm, Wm, nm); gt_masks (G, Hm, Wm) binary;
     gt_boxes_mask_grid (G, 4) xyxy on the proto grid; assigned_gt (A,) int32;
     pos_mask (A,) bool. Returns scalar.
+
+    The mask tensor is built only for a top-P static slice of anchors ranked
+    by pos_mask, NOT all A anchors: task-aligned assignment selects at most
+    top-k=10 anchors per GT (tti.train.assigner), so P = 10*G covers every
+    positive and the slice is exact — while the dense (A, Hm, Wm) tensor at
+    640 px (A=8400) is a 44 GB allocation that cannot compile on one chip.
     """
     hm, wm = protos.shape[0], protos.shape[1]
+    a, g = coefs.shape[0], gt_masks.shape[0]
+    p = min(a, max(64, 10 * g))
+    order = jax.lax.top_k(pos_mask.astype(jnp.float32), p)[1]
+    coefs = coefs[order]
+    assigned_gt = assigned_gt[order]
+    pos_mask = pos_mask[order]
     logits = jnp.einsum(
         "ac,hwc->ahw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )  # (A, Hm, Wm) — only positives matter; masked below.
+    )  # (P, Hm, Wm) — only positives matter; masked below.
     tgt = gt_masks[assigned_gt]  # (A, Hm, Wm)
     boxes = gt_boxes_mask_grid[assigned_gt]  # (A, 4)
 
