@@ -63,3 +63,34 @@ def test_stem_to_s2d_structure():
     assert "m0s2d" in out["batch_stats"] and "m0" not in out["batch_stats"]
     # Original tree untouched.
     assert "m0" in variables["params"]
+
+
+def test_load_checkpoint_from_orbax_train_dir(tmp_path):
+    """`tti eval --weights <dir>` must accept the orbax train-state directory
+    that `tti train` writes: params/batch_stats extracted, optimizer state
+    dropped, shape-verified against the model template."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tti.model.convert import load_checkpoint
+    from tti.model.yolo import create_model, init_variables
+    from tti.train.checkpoint import save_train_state
+    from tti.train.step import create_train_state
+
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=64)
+    state, _ = create_train_state(model, variables, learning_rate=1e-3)
+    path = save_train_state(state, str(tmp_path / "ckpt"), step=0)
+
+    template = init_variables(model, image_size=64, seed=9)
+    if not path.endswith(".msgpack"):
+        loaded = load_checkpoint(path, template)
+        assert set(loaded) == {"params", "batch_stats"}
+        w0 = np.asarray(variables["params"]["m0"]["conv"]["kernel"])
+        np.testing.assert_array_equal(
+            np.asarray(loaded["params"]["m0"]["conv"]["kernel"]), w0
+        )
+        # Mismatched model must be rejected.
+        bad = init_variables(create_model("s", nc=2), image_size=64)
+        with pytest.raises(ValueError):
+            load_checkpoint(path, bad)

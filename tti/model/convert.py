@@ -291,7 +291,25 @@ def save_checkpoint(variables: Tree, path: str, metadata: dict | None = None) ->
 
 
 def load_checkpoint(path: str, template: Tree) -> Tree:
-    """Deserialize msgpack into the structure of ``template`` (from model.init)."""
+    """Load inference variables: a flax msgpack file, or an orbax train-state
+    checkpoint DIRECTORY as written by tti.train.checkpoint.save_train_state
+    (the `tti train` CLI's output) — the optimizer state is dropped and only
+    {params, batch_stats} are extracted."""
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        out = {"params": restored["params"]}
+        if "batch_stats" in template and restored.get("batch_stats") is not None:
+            out["batch_stats"] = restored["batch_stats"]
+        problems = verify_tree_shapes(out, {k: template[k] for k in out})
+        if problems:
+            raise ValueError(
+                f"checkpoint {path} does not match the model: {problems[:5]}"
+            )
+        return out
     from flax import serialization
 
     with open(path, "rb") as f:
