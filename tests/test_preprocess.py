@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from tti.preprocess.letterbox import (
     letterbox_spec,
+    letterbox_spec_rect,
+    make_letterbox_spec,
     preprocess_frames,
     scale_boxes_to_frame,
 )
@@ -26,6 +28,77 @@ def test_letterbox_spec_reference_geometry():
     assert spec.scale == 0.75
     assert (spec.new_h, spec.new_w) == (720, 960)
     assert spec.pad_top == 120 and spec.pad_left == 0
+
+
+def _ultra_letterbox(img: np.ndarray, new_shape: tuple[int, int], stride: int = 32,
+                     auto: bool = True) -> tuple[np.ndarray, float, tuple[float, float]]:
+    """Faithful oracle of Ultralytics' LetterBox.__call__ (the .pt predict
+    preprocessing): cv2.INTER_LINEAR resize, auto minimal-rect stride padding,
+    round(x -+ 0.1) center split, 114-gray border."""
+    shape = img.shape[:2]
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    new_unpad = int(round(shape[1] * r)), int(round(shape[0] * r))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        dw, dh = dw % stride, dh % stride
+    dw /= 2
+    dh /= 2
+    if shape[::-1] != new_unpad:
+        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    img = cv2.copyMakeBorder(img, top, bottom, left, right, cv2.BORDER_CONSTANT,
+                             value=(114, 114, 114))
+    return img, r, (left, top)
+
+
+def test_rect_spec_reference_geometry():
+    """Deployment geometry: 1280x960 at imgsz=960 letterboxes to 960x736 under
+    Ultralytics auto minimal-rect (reference measurement.py:210), NOT 960x960."""
+    spec = letterbox_spec_rect(960, 1280, 960)
+    assert (spec.dst_h, spec.dst_w) == (736, 960)
+    assert (spec.new_h, spec.new_w) == (720, 960)
+    assert spec.pad_top == 8 and spec.pad_left == 0
+    assert make_letterbox_spec(960, 1280, 960, "rect") == spec
+    with pytest.raises(ValueError):
+        make_letterbox_spec(960, 1280, 960, "diamond")
+
+
+@pytest.mark.parametrize(
+    "h,w,t",
+    [(960, 1280, 960), (1080, 1920, 640), (96, 128, 64), (720, 1280, 640),
+     (480, 640, 352), (90, 128, 64), (971, 1333, 640), (640, 640, 640)],
+)
+def test_rect_spec_matches_ultralytics_oracle(h, w, t):
+    """Spec geometry (dst dims, scale, pad placement) must equal the real
+    LetterBox(auto=True) algorithm for a sweep of aspect ratios, including odd
+    pad splits (90x128) and non-multiple sources (971x1333)."""
+    spec = letterbox_spec_rect(h, w, t)
+    img = np.full((h, w, 3), 255, np.uint8)
+    out, r, (left, top) = _ultra_letterbox(img, (t, t))
+    assert (spec.dst_h, spec.dst_w) == out.shape[:2]
+    assert spec.scale == pytest.approx(r)
+    assert (spec.pad_left, spec.pad_top) == (left, top)
+    # Content placement: non-114 pixels sit exactly in the spec's content rect.
+    content = np.zeros(out.shape[:2], bool)
+    content[spec.pad_top:spec.pad_top + spec.new_h,
+            spec.pad_left:spec.pad_left + spec.new_w] = True
+    assert np.all(out[content] == 255)
+    assert np.all(out[~content] == 114)
+
+
+def test_rect_preprocess_pixel_parity_with_cv2(rng):
+    """preprocess_frames at the rect target reproduces the real cv2 letterbox
+    pixels (the content goes through the same half-pixel bilinear)."""
+    frame = rng.integers(0, 255, size=(1, 96, 144, 3), dtype=np.uint8)
+    spec = letterbox_spec_rect(96, 144, 96)  # genuinely rect: dst 64x96
+    assert (spec.dst_h, spec.dst_w) == (64, 96)
+    out, spec2 = preprocess_frames(jnp.asarray(frame), (spec.dst_h, spec.dst_w))
+    # The square-spec of the rect target reproduces the rect geometry.
+    assert spec2 == spec
+    expected, _, _ = _ultra_letterbox(frame[0, :, :, ::-1], (96, 96))
+    assert expected.shape[:2] == (spec.dst_h, spec.dst_w)
+    assert np.abs(np.asarray(out)[0] - expected.astype(np.float32) / 255.0).max() < 0.02
 
 
 def test_preprocess_matches_cv2_letterbox(rng):

@@ -106,6 +106,28 @@ def test_pipeline_sharded_over_mesh(rng):
     assert np.asarray(outs.measurements.n_stitches).shape == (8,)
 
 
+def test_rect_letterbox_pipeline_end_to_end(rng):
+    """The default rect letterbox on a geometry where it is genuinely
+    non-square (48x96 frames at imgsz 96 -> 64x96 model input): full
+    undistort+measure pipeline compiles and keeps frame-coordinate contracts."""
+    frame_hw = (48, 96)
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=96, dtype="float32",
+                      max_detections=8, letterbox="rect")
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=32)
+    pipeline = InspectionPipeline(model_cfg=cfg, variables=variables,
+                                  frame_hw=frame_hw, calibration=_calib(),
+                                  model=model, measure_cfg=MeasureConfig(max_stitches=8))
+    assert (pipeline.spec.dst_h, pipeline.spec.dst_w) == (64, 96)
+    assert pipeline.spec.scale == 1.0 and pipeline.spec.pad_top == 8
+    frames = rng.integers(0, 255, size=(2, *frame_hw, 3), dtype=np.uint8)
+    outs = pipeline.process_batch(frames)
+    assert outs.boxes_frame.shape == (2, 8, 4)
+    assert outs.boxes_frame[..., [0, 2]].max() <= frame_hw[1]
+    assert outs.boxes_frame[..., [1, 3]].max() <= frame_hw[0]
+    assert np.asarray(outs.measurements.n_stitches).shape == (2,)
+
+
 def test_undistorting_pipeline_zeroes_measurement_distortion():
     """Rectified frames put all downstream coordinates in ideal pinhole space —
     the measurement geometry must NOT apply the distortion inverse again

@@ -193,3 +193,228 @@ def randomize_running_stats(model: nn.Module, seed: int = 0) -> None:
         if isinstance(mod, nn.BatchNorm2d):
             mod.running_mean.uniform_(-0.5, 0.5, generator=gen)
             mod.running_var.uniform_(0.5, 1.5, generator=gen)
+
+
+def make_detecting_model(
+    variant: str = "n", nc: int = 2, seed: int = 0,
+    cls_gain: float = 1.0, bias_range: tuple[float, float] = (-4.0, -2.0),
+) -> "TorchYOLOv8Seg":
+    """A random but deterministic model whose outputs are INPUT-DEPENDENT and
+    whose class logits actually cross the conf=0.20 operating point, so
+    predict-chain tests exercise real detections, NMS and masks.
+
+    Two ingredients:
+    - BN running stats are CALIBRATED on smooth random images (cumulative
+      average), not randomized: with random running stats the BN shift dwarfs
+      the conv response and after ~20 layers the network output is constant in
+      its input (measured: <1e-5 logit change between different frames).
+    - The classification 1x1 convs get a gain and a moderate negative bias so
+      a sparse subset of anchors crosses conf=0.20 (fresh-init detectors emit
+      near-zero scores everywhere; un-tuned positive biases light up EVERY
+      anchor)."""
+    import torch.nn.functional as F
+
+    torch.manual_seed(seed)
+    model = TorchYOLOv8Seg(variant, nc=nc)
+    for mod in model.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.reset_running_stats()
+            mod.momentum = None  # cumulative average during calibration
+    model.train()
+    gen = torch.Generator().manual_seed(seed + 2)
+    with torch.no_grad():
+        for _ in range(2):
+            low = torch.rand((2, 3, 32, 32), generator=gen)
+            model(F.interpolate(low, scale_factor=8, mode="bilinear",
+                                align_corners=False))
+    for mod in model.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.momentum = 0.03
+    gen = torch.Generator().manual_seed(seed + 1)
+    seg = model.model[22]
+    for branch in seg.cv3:
+        branch[-1].weight.data.mul_(cls_gain)
+        branch[-1].bias.data.uniform_(*bias_range, generator=gen)
+    model.eval()
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Full Ultralytics predict-chain oracle.
+#
+# Ultralytics itself is not installable here (zero egress), so the predict
+# pipeline is reproduced operation-for-operation from its public semantics:
+# LetterBox(auto=True) preprocessing (cv2.INTER_LINEAR resize on uint8 +
+# stride-aligned 114 padding), DFL decode over (grid+0.5)*stride anchors,
+# class-aware greedy NMS with multi_label=False and strict `> conf` candidate
+# filter, process_mask(upsample=True) = sigmoid(coef . proto) cropped at proto
+# resolution then bilinear-upsampled to the model input and thresholded at 0.5,
+# scale_boxes back to the frame, and finally the reference's own
+# cv2.INTER_NEAREST mask resize to frame size (reference: measurement.py:70-86,
+# 208-210). Where real Ultralytics is importable (ultralytics.YOLO), the
+# parity test upgrades itself to run against it instead.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+ORACLE_STRIDES = (8, 16, 32)
+
+
+def ultra_letterbox(img: np.ndarray, new_shape: tuple[int, int], stride: int = 32,
+                    auto: bool = True) -> tuple[np.ndarray, float, tuple[int, int]]:
+    """Ultralytics LetterBox.__call__: returns (letterboxed uint8 image, scale,
+    (pad_left, pad_top))."""
+    import cv2
+
+    shape = img.shape[:2]
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    new_unpad = int(round(shape[1] * r)), int(round(shape[0] * r))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        dw, dh = dw % stride, dh % stride
+    dw /= 2
+    dh /= 2
+    if shape[::-1] != new_unpad:
+        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    img = cv2.copyMakeBorder(img, top, bottom, left, right, cv2.BORDER_CONSTANT,
+                             value=(114, 114, 114))
+    return img, r, (left, top)
+
+
+def _flatten_levels(tensors: list[torch.Tensor]) -> torch.Tensor:
+    """Per-level (1, C, H, W) -> (A, C) in the same y-major anchor order as
+    tti.postprocess.decode.flatten_predictions."""
+    return torch.cat([t.permute(0, 2, 3, 1).reshape(-1, t.shape[1]) for t in tensors], 0)
+
+
+def _make_anchors_torch(shapes: list[tuple[int, int]]) -> tuple[torch.Tensor, torch.Tensor]:
+    pts, strs = [], []
+    for (h, w), s in zip(shapes, ORACLE_STRIDES):
+        ys = (torch.arange(h, dtype=torch.float32) + 0.5) * s
+        xs = (torch.arange(w, dtype=torch.float32) + 0.5) * s
+        yy, xx = torch.meshgrid(ys, xs, indexing="ij")
+        pts.append(torch.stack([xx.reshape(-1), yy.reshape(-1)], -1))
+        strs.append(torch.full((h * w,), float(s)))
+    return torch.cat(pts, 0), torch.cat(strs, 0)
+
+
+def _greedy_nms_np(boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray,
+                   iou_thresh: float) -> list[int]:
+    """torchvision.ops.nms semantics (score-sorted greedy, class-offset trick
+    realised as a class equality mask)."""
+    order = np.argsort(-scores, kind="stable")
+    keep: list[int] = []
+    suppressed = np.zeros(len(boxes), bool)
+    areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        for j in order:
+            if suppressed[j] or j == i or classes[j] != classes[i]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            if inter / max(areas[i] + areas[j] - inter, 1e-9) > iou_thresh:
+                suppressed[j] = True
+    return keep
+
+
+def ultralytics_predict(
+    model: TorchYOLOv8Seg,
+    frame_bgr: np.ndarray,
+    imgsz: int = 960,
+    conf_thresh: float = 0.20,
+    iou_thresh: float = 0.25,
+    max_det: int = 200,
+    stride: int = 32,
+) -> dict:
+    """The full predict chain on ONE frame, Ultralytics semantics end-to-end,
+    plus the reference's frame-resolution mask extraction. Returns numpy
+    {boxes (N,4) frame px, scores (N,), classes (N,), masks_input (N,Hi,Wi),
+    masks_frame (N,H,W) uint8, letterbox (img, r, pad)}."""
+    import cv2
+    import torch.nn.functional as F
+
+    h0, w0 = frame_bgr.shape[:2]
+    img, r, (pad_l, pad_t) = ultra_letterbox(frame_bgr, (imgsz, imgsz), stride=stride)
+    rgb = img[:, :, ::-1]
+    x = torch.from_numpy(np.ascontiguousarray(rgb)).permute(2, 0, 1)[None].float() / 255.0
+    ih, iw = x.shape[2], x.shape[3]
+
+    with torch.no_grad():
+        box_l, cls_l, coef_l, protos = model(x)
+
+    shapes = [(t.shape[2], t.shape[3]) for t in box_l]
+    anchors, stride_pa = _make_anchors_torch(shapes)
+    box = _flatten_levels(box_l)  # (A, 64)
+    cls = _flatten_levels(cls_l)  # (A, nc)
+    coef = _flatten_levels(coef_l)  # (A, nm)
+
+    # DFL decode (softmax expectation over 16 bins, exactly the arange conv).
+    dist = (box.reshape(-1, 4, 16).softmax(-1) * torch.arange(16.0)).sum(-1)
+    ltrb = dist * stride_pa[:, None]
+    cx, cy = anchors[:, 0], anchors[:, 1]
+    xyxy = torch.stack([cx - ltrb[:, 0], cy - ltrb[:, 1], cx + ltrb[:, 2], cy + ltrb[:, 3]], -1)
+
+    probs = cls.sigmoid()
+    best, cls_id = probs.max(-1)
+    cand = best > conf_thresh  # strict >: Ultralytics non_max_suppression
+    b_np = xyxy[cand].numpy()
+    s_np = best[cand].numpy()
+    c_np = cls_id[cand].numpy()
+    m_np = coef[cand].numpy()
+
+    keep = _greedy_nms_np(b_np, s_np, c_np, iou_thresh)[:max_det]
+    b_np, s_np, c_np, m_np = b_np[keep], s_np[keep], c_np[keep], m_np[keep]
+
+    # process_mask(upsample=True): crop at proto res, bilinear to input, >0.5.
+    p = protos[0]  # (nm, Hm, Wm)
+    nm, mh, mw = p.shape
+    masks = torch.from_numpy(m_np) @ p.reshape(nm, -1)
+    masks = masks.sigmoid().reshape(-1, mh, mw)
+    down = torch.from_numpy(b_np.copy())
+    down[:, [0, 2]] *= mw / iw
+    down[:, [1, 3]] *= mh / ih
+    rows = torch.arange(mh, dtype=torch.float32)[None, :, None]
+    cols = torch.arange(mw, dtype=torch.float32)[None, None, :]
+    inside = (
+        (rows >= down[:, 1, None, None]) & (rows < down[:, 3, None, None])
+        & (cols >= down[:, 0, None, None]) & (cols < down[:, 2, None, None])
+    )
+    masks = masks * inside
+    if len(keep):
+        masks = F.interpolate(masks[None], (ih, iw), mode="bilinear", align_corners=False)[0]
+    else:
+        masks = torch.zeros((0, ih, iw))
+    masks_input = masks.gt(0.5).float().numpy()
+
+    # scale_boxes: input px -> frame px, clipped.
+    b_frame = b_np.copy()
+    b_frame[:, [0, 2]] -= pad_l
+    b_frame[:, [1, 3]] -= pad_t
+    b_frame /= r
+    b_frame[:, [0, 2]] = b_frame[:, [0, 2]].clip(0, w0)
+    b_frame[:, [1, 3]] = b_frame[:, [1, 3]].clip(0, h0)
+
+    # The reference's own frame-resolution mask extraction
+    # (measurement.py:70-86): cv2 INTER_NEAREST resize, binarize > 0.
+    masks_frame = np.stack(
+        [
+            (cv2.resize(m, (w0, h0), interpolation=cv2.INTER_NEAREST) > 0).astype(np.uint8)
+            for m in masks_input
+        ]
+    ) if len(keep) else np.zeros((0, h0, w0), np.uint8)
+
+    return {
+        "boxes": b_frame,
+        "scores": s_np,
+        "classes": c_np.astype(np.int64),
+        "coefs": m_np,
+        "masks_input": masks_input,
+        "masks_frame": masks_frame,
+        "letterbox": (img, r, (pad_l, pad_t)),
+    }

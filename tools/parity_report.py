@@ -1,0 +1,205 @@
+"""Full-geometry predict-chain parity report (VERDICT round-1 item 1).
+
+Runs the REFERENCE DEPLOYMENT geometry — 1280x960 camera frames, predict
+imgsz=960 with Ultralytics auto minimal-rect letterbox (960x736 model input;
+reference: config.py:59-60, measurement.py:208-210) — through
+
+  (a) the Ultralytics-semantics oracle (tests/torch_ref.ultralytics_predict:
+      torch forward + real cv2 preprocessing; swaps itself for the real
+      `ultralytics.YOLO` predictor when that package is importable), and
+  (b) the tti predict chain (tti.app.predict.Predictor) at f32 AND at the
+      production bf16 compute dtype,
+
+and writes PARITY_REPORT.md with measured box/score agreement and per-instance
+frame-resolution mask IoU (BASELINE north star: mask IoU >= 0.999).
+
+Usage:  python tools/parity_report.py [--frames N] [--out PARITY_REPORT.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import numpy as np
+
+
+def textured_frame(h: int, w: int, seed: int) -> np.ndarray:
+    """Piecewise-smooth synthetic frame (see tests/test_predict_parity.py)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (
+        110 + 70 * np.sin(xx / 17.0 + rng.uniform(0, 6)) * np.cos(yy / 23.0)
+        + 40 * np.sin((xx + 2 * yy) / 41.0)
+    )
+    frame = np.stack([base, np.roll(base, 5, 1), np.roll(base, 9, 0)], -1)
+    frame += rng.normal(0, 6, size=frame.shape)
+    return np.clip(frame, 0, 255).astype(np.uint8)
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    a = a > 0.5
+    b = b > 0.5
+    union = np.logical_or(a, b).sum()
+    return 1.0 if union == 0 else float(np.logical_and(a, b).sum() / union)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--imgsz", type=int, default=960)
+    ap.add_argument("--frame-h", type=int, default=960)
+    ap.add_argument("--frame-w", type=int, default=1280)
+    ap.add_argument("--out", default="PARITY_REPORT.md")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tti_jax_cache_parity")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import jax.numpy as jnp
+
+    from torch_ref import make_detecting_model, ultralytics_predict
+    from tti.app.predict import Predictor
+    from tti.core.config import ModelConfig
+    from tti.model.convert import convert_torch_state_dict
+    from tti.model.yolo import create_model
+
+    try:
+        import ultralytics  # noqa: F401
+
+        real_ultra = True
+    except ImportError:
+        real_ultra = False
+
+    tmodel = make_detecting_model("n", nc=2, seed=args.seed)
+    variables = convert_torch_state_dict(tmodel.state_dict())
+    frame_hw = (args.frame_h, args.frame_w)
+
+    rows = []
+    for dtype in ("float32", "bfloat16"):
+        cfg = ModelConfig(
+            variant="n", num_classes=2, image_size=args.imgsz, letterbox="rect",
+            dtype=dtype, conf_thresh=0.20, iou_thresh=0.25, max_detections=200,
+            nms_pre_topk=256,
+        )
+        jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+        predictor = Predictor(cfg, variables, frame_hw, mask_topk=64,
+                              model=create_model("n", nc=2, dtype=jdt))
+        print(f"[{dtype}] input geometry: {predictor.spec}", file=sys.stderr)
+
+        stats = dict(
+            dtype=dtype, frames=0, ref_dets=0, got_dets=0, matched=0,
+            box_err=[], score_err=[], ious=[], count_mismatch=0,
+        )
+        t0 = time.time()
+        for k in range(args.frames):
+            frame = textured_frame(*frame_hw, seed=1000 + k)
+            ref = ultralytics_predict(tmodel, frame, imgsz=args.imgsz,
+                                      conf_thresh=0.20, iou_thresh=0.25, max_det=200)
+            got = predictor(frame[None])
+            n_ref = len(ref["scores"])
+            n_got = int(got.valid[0].sum())
+            stats["frames"] += 1
+            stats["ref_dets"] += n_ref
+            stats["got_dets"] += n_got
+            if n_ref != n_got:
+                stats["count_mismatch"] += 1
+
+            # Greedy box matching (order may swap between near-equal scores).
+            used: set[int] = set()
+            masks_frame = predictor.masks_to_frame(got.masks_input[0])
+            for i in range(min(n_got, masks_frame.shape[0])):
+                best_j, best_d = None, 1e9
+                for j in range(n_ref):
+                    if j in used:
+                        continue
+                    d = float(np.abs(got.boxes[0, i] - ref["boxes"][j]).max())
+                    if d < best_d:
+                        best_d, best_j = d, j
+                if best_j is None or best_d >= 5.0:
+                    continue
+                used.add(best_j)
+                stats["matched"] += 1
+                stats["box_err"].append(best_d)
+                stats["score_err"].append(
+                    abs(float(got.scores[0, i]) - float(ref["scores"][best_j]))
+                )
+                stats["ious"].append(
+                    mask_iou(masks_frame[i], ref["masks_frame"][best_j])
+                )
+        stats["wall_s"] = time.time() - t0
+        rows.append(stats)
+
+    def fmt(stats: dict) -> str:
+        ious = np.array(stats["ious"]) if stats["ious"] else np.array([np.nan])
+        be = np.array(stats["box_err"]) if stats["box_err"] else np.array([np.nan])
+        se = np.array(stats["score_err"]) if stats["score_err"] else np.array([np.nan])
+        return (
+            f"| {stats['dtype']} | {stats['frames']} | {stats['ref_dets']} | "
+            f"{stats['got_dets']} | {stats['matched']} | {stats['count_mismatch']} | "
+            f"{np.median(ious):.6f} | {ious.min():.6f} | "
+            f"{float((ious >= 0.999).mean()):.3f} | {be.max():.3f} | {se.max():.2e} |"
+        )
+
+    platform = None
+    try:
+        import jax
+
+        platform = jax.devices()[0].platform
+    except Exception:
+        pass
+
+    oracle_desc = (
+        "real `ultralytics.YOLO` predictor" if real_ultra else
+        "torch + cv2 oracle reproducing Ultralytics predict semantics "
+        "operation-for-operation (`tests/torch_ref.ultralytics_predict`; the "
+        "`ultralytics` package is not installable in this zero-egress "
+        "environment — the harness auto-upgrades to it when importable)"
+    )
+    lines = [
+        "# PARITY REPORT — full predict chain vs Ultralytics semantics",
+        "",
+        f"- Geometry: {args.frame_w}x{args.frame_h} frames, predict imgsz={args.imgsz} "
+        "with auto minimal-rect letterbox (the reference deployment's exact call: "
+        "measurement.py:208-210) — model input "
+        "960x736 at the default geometry.",
+        f"- Oracle: {oracle_desc}.",
+        "- Weights: deterministic seeded YOLOv8n-seg with detection-active class "
+        "biases (`tests/torch_ref.make_detecting_model`) converted via "
+        "`tti.model.convert.convert_torch_state_dict` — the real `.pt` deployment "
+        "weights are absent from the reference mount "
+        "(.MISSING_LARGE_BLOBS) and cannot be fetched.",
+        "- Chain compared END-TO-END: letterbox -> forward -> DFL decode -> "
+        "conf filter (strict >) -> class-aware NMS -> process_mask(upsample=True) "
+        "-> scale_boxes -> the reference's cv2.INTER_NEAREST mask resize to frame "
+        "(measurement.py:70-86). Mask IoU is measured at FRAME resolution "
+        f"({args.frame_w}x{args.frame_h}).",
+        f"- tti device platform: {platform}.",
+        "",
+        "| tti dtype | frames | oracle dets | tti dets | matched | frames w/ count mismatch "
+        "| median mask IoU | min mask IoU | frac IoU>=0.999 | max box err (px) | max score err |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+        *[fmt(s) for s in rows],
+        "",
+        "North star: mask IoU >= 0.999 (BASELINE.md). The f32 row measures design",
+        "parity; the bfloat16 row measures the production compute dtype. The oracle",
+        "letterbox resize is cv2-on-uint8 (Ultralytics quantizes the resized image",
+        "to u8) while tti resizes in float inside the fused graph — a deliberate,",
+        "documented sub-LSB difference (<= 0.5/255 per input pixel).",
+        "",
+        f"Generated by tools/parity_report.py, {time.strftime('%Y-%m-%d %H:%M:%S')}.",
+    ]
+    Path(args.out).write_text("\n".join(lines) + "\n", encoding="utf-8")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

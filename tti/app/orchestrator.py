@@ -191,6 +191,16 @@ class Orchestrator:
         cfg = self.config
         with self.timer.stage("device"):
             outs = self.pipeline.process_batch(frame[None])
+        overflows = outs.budget_overflows(cfg.model, cfg.measure)
+        exceeded = [k for k, v in overflows.items() if bool(np.any(v))]
+        if exceeded:
+            log.warning(
+                "static budget exceeded: %s (counts=%s) — lowest-score "
+                "detections were dropped at that stage; raise the budget in "
+                "config if crowded scenes are expected",
+                exceeded,
+                {k: int(v[0]) for k, v in (outs.telemetry or {}).items()},
+            )
         meas_batch = outs.measurements
         if meas_batch is not None:
             self.measure_state, smoothed = smooth_measurement(

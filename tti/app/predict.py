@@ -1,0 +1,137 @@
+"""Reference-compatible predict surface: frames -> boxes / scores / classes /
+frame-resolution instance masks.
+
+This is the drop-in equivalent of what the reference consumes from Ultralytics
+(reference: measurement.py:208-210 ``model.predict(rgb, conf, iou, max_det,
+imgsz=960)`` and measurement.py:242-246 / 70-86 ``r.boxes.{cls,xyxy,conf}`` +
+``r.masks.data`` NEAREST-resized to the frame). The device step jits the whole
+chain — auto minimal-rect letterbox, YOLOv8-seg forward, DFL decode, batched
+NMS, Ultralytics process_mask(upsample=True) mask assembly — and returns
+input-resolution binary masks; the final cv2-convention NEAREST resize to frame
+size happens on host (it is a pure integer-index gather, and keeping it off
+the device avoids materializing (N, frame_h, frame_w) tensors in HBM).
+
+The production measurement path (tti.parallel.runtime.InspectionPipeline) never
+materializes masks at all; this surface exists for reference users, rendering,
+dataset tooling and the cross-framework parity harness
+(tests/test_predict_parity.py, tools/parity_report.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tti.core.config import ModelConfig
+from tti.model.yolo import YOLOv8Seg, create_model
+from tti.postprocess.decode import decode_predictions
+from tti.postprocess.masks import masks_at_input
+from tti.postprocess.nms import batched_nms
+from tti.preprocess.letterbox import (
+    LetterboxSpec,
+    make_letterbox_spec,
+    preprocess_frames,
+    scale_boxes_to_frame,
+)
+
+
+@dataclass
+class PredictResult:
+    """Host-side predict outputs for one batch (numpy).
+
+    Rows are score-sorted (the Ultralytics output order); ``valid`` masks the
+    fixed-shape padding. ``masks_input`` is (B, M, H, W) binary at model-input
+    resolution — the analog of ``results[0].masks.data`` — where
+    M = min(max_det, mask_topk)."""
+
+    boxes: np.ndarray  # (B, D, 4) xyxy in frame px, clipped
+    scores: np.ndarray  # (B, D)
+    classes: np.ndarray  # (B, D) int32, -1 on padding
+    valid: np.ndarray  # (B, D) bool
+    masks_input: np.ndarray  # (B, M, Hi, Wi) float binary
+    spec: LetterboxSpec
+
+
+class Predictor:
+    """Jitted full predict chain for one model (reference predict parity)."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        variables: dict,
+        frame_hw: tuple[int, int],
+        mask_topk: int = 64,
+        model: YOLOv8Seg | None = None,
+    ) -> None:
+        self.model_cfg = model_cfg
+        self.frame_hw = frame_hw
+        self.spec = make_letterbox_spec(
+            frame_hw[0], frame_hw[1], model_cfg.image_size, model_cfg.letterbox
+        )
+        dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
+        self.model = model or create_model(
+            model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
+        )
+        self.variables = jax.device_put(variables)
+        self.mask_topk = min(mask_topk, model_cfg.max_detections)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        spec = self.spec
+        mcfg = self.model_cfg
+        topk = self.mask_topk
+        pre_dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
+
+        def step(variables, frames_u8):
+            x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w), dtype=pre_dtype)
+            raw = self.model.apply(variables, x, train=False)
+            boxes, probs, coefs = decode_predictions(raw)
+            dets = batched_nms(
+                boxes, probs, coefs,
+                conf_thresh=mcfg.conf_thresh, iou_thresh=mcfg.iou_thresh,
+                max_det=mcfg.max_detections, pre_topk=mcfg.nms_pre_topk,
+            )
+            masks = jax.vmap(
+                lambda d, p: masks_at_input(
+                    p,
+                    d.coefs[:topk],
+                    d.boxes[:topk],
+                    d.valid[:topk],
+                    (spec.dst_h, spec.dst_w),
+                )
+            )(dets, raw.protos)
+            return {
+                "boxes_frame": scale_boxes_to_frame(dets.boxes, spec),
+                "scores": dets.scores,
+                "classes": dets.classes,
+                "valid": dets.valid,
+                "masks_input": masks,
+            }
+
+        return step
+
+    def __call__(self, frames_bgr_u8: np.ndarray) -> PredictResult:
+        outs = self._step(self.variables, jnp.asarray(frames_bgr_u8))
+        return PredictResult(
+            boxes=np.asarray(outs["boxes_frame"], np.float32),
+            scores=np.asarray(outs["scores"], np.float32),
+            classes=np.asarray(outs["classes"]),
+            valid=np.asarray(outs["valid"]),
+            masks_input=np.asarray(outs["masks_input"], np.float32),
+            spec=self.spec,
+        )
+
+    def masks_to_frame(self, masks_input: np.ndarray) -> np.ndarray:
+        """Input-resolution masks -> frame-resolution uint8 masks with the
+        reference's cv2.INTER_NEAREST convention (source index =
+        floor(dst * src/dst); reference measurement.py:79). Host-side numpy
+        gather — identical math to tti.postprocess.masks.resize_nearest_cv2."""
+        h, w = masks_input.shape[-2], masks_input.shape[-1]
+        oh, ow = self.frame_hw
+        ys = np.clip(np.floor(np.arange(oh) * (h / oh)).astype(np.int64), 0, h - 1)
+        xs = np.clip(np.floor(np.arange(ow) * (w / ow)).astype(np.int64), 0, w - 1)
+        out = masks_input[..., ys[:, None], xs[None, :]]
+        return (out > 0).astype(np.uint8)

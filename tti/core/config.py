@@ -134,6 +134,9 @@ class ModelConfig:
     nms_pre_topk: int = 256  # candidates entering the KxK NMS IoU matrix
     # (>= max_detections so any keep-set fits; 256 vs 512 measured +5% e2e)
     image_size: int = 960  # imgsz passed to predict (reference: measurement.py:210)
+    letterbox: str = "rect"  # 'rect' = Ultralytics auto minimal-rect (the .pt
+    # predict default the reference deployment sees at measurement.py:210:
+    # 1280x960 @ imgsz=960 -> 960x736); 'square' pads to the full TxT canvas
     dtype: str = "bfloat16"  # TPU-native compute dtype; params kept fp32
 
     @staticmethod
@@ -145,6 +148,7 @@ class ModelConfig:
             iou_thresh=env_float(env, "IOU_THRESH", 0.25),
             max_detections=env_int(env, "MAX_DETECTIONS", 200),
             image_size=env_int(env, "TTI_IMAGE_SIZE", 960),
+            letterbox=env_str(env, "TTI_LETTERBOX", "rect") or "rect",
             dtype=env_str(env, "TTI_DTYPE", "bfloat16") or "bfloat16",
         )
 

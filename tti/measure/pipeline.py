@@ -187,18 +187,33 @@ def prepare_frame_inputs(
     dominant tensor regardless of the NMS max_det budget.
 
     dets: single-frame Detections (D rows); protos (Hm, Wm, nm).
-    Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool).
+    Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool,
+    counts dict of int32 scalars for budget-overflow telemetry).
     """
     from tti.kernels.maskstats import instance_mask_stats
     from tti.preprocess.letterbox import scale_boxes_to_frame
 
-    if max_stats_dets and dets.boxes.shape[0] > max_stats_dets:
-        dets = jax.tree_util.tree_map(lambda a: a[:max_stats_dets], dets)
-
     input_hw = (spec.dst_h, spec.dst_w)
     wm = protos.shape[1]
+
+    # Telemetry over the FULL detection set, computed BEFORE the static stats
+    # slice: budget overflow must be visible, never silent (a frame with more
+    # ROI-valid detections than max_stats_dets / more stitches than
+    # max_stitches drops the lowest-score rows — counts let the host log it).
     boxes_frame = scale_boxes_to_frame(dets.boxes, spec)
-    in_roi = roi_center_gate(boxes_frame, roi_bounds) & dets.valid
+    in_roi_full = roi_center_gate(boxes_frame, roi_bounds) & dets.valid
+    counts = {
+        "n_roi_valid": jnp.sum(in_roi_full).astype(jnp.int32),
+        "n_stitches_raw": jnp.sum(
+            in_roi_full & (dets.classes == stitch_class_id)
+        ).astype(jnp.int32),
+    }
+
+    if max_stats_dets and dets.boxes.shape[0] > max_stats_dets:
+        dets = jax.tree_util.tree_map(lambda a: a[:max_stats_dets], dets)
+        in_roi = in_roi_full[:max_stats_dets]
+    else:
+        in_roi = in_roi_full
 
     is_stitch = in_roi & (dets.classes == stitch_class_id)
     is_fabric = in_roi & (dets.classes == fabric_class_id)
@@ -247,7 +262,7 @@ def prepare_frame_inputs(
         right=_mask_right_to_frame(right_m, spec.pad_left, spec.scale),
         valid=sel_valid,
     )
-    return stitches, envelope, fabric_any
+    return stitches, envelope, fabric_any, counts
 
 
 # ---------------------------------------------------------------------------

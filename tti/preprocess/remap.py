@@ -12,7 +12,9 @@ kernel", BASELINE.json). Design:
   Undistortion, resize, and letterbox therefore collapse into a single bilinear
   gather per frame — one HBM pass instead of three.
 - ``remap_bilinear`` is the pure-XLA implementation (4 gathers + lerp);
-  ``tti.kernels.remap`` provides the Pallas version under the same contract.
+  ``PackedRemap`` is the production fast path (packed-u32 gather + SWAR blend).
+  A Pallas remap kernel was evaluated and rejected on the current toolchain
+  (Mosaic rejects the required in-kernel dynamic gather; see STATUS.md ledger).
 """
 
 from __future__ import annotations
@@ -69,8 +71,8 @@ def remap_bilinear(frames: Array, map_xy: Array, pad_value: float = PAD_VALUE / 
     """Bilinear remap: (B, H, W, C) frames sampled at map_xy (dh, dw, 2).
 
     Out-of-bounds samples return ``pad_value``. Pure-XLA reference
-    implementation (4 flat gathers + lerp); semantics shared with the Pallas
-    kernel in tti.kernels.remap.
+    implementation (4 flat gathers + lerp); semantics shared with the
+    packed-u32 fast path (``PackedRemap``).
     """
     b, h, w, c = frames.shape
     dtype = frames.dtype if jnp.issubdtype(frames.dtype, jnp.floating) else jnp.float32
