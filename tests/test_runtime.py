@@ -84,9 +84,13 @@ def test_dual_pipeline_shares_preprocess(tiny_pipeline, rng):
                                 calibration=_calib(), model=model2)
     dual = DualPipeline(tiny_pipeline, second)
     frames = rng.integers(0, 255, size=(1, *FRAME_HW, 3), dtype=np.uint8)
-    dets_a, dets_b = dual.process_batch(frames)
-    assert dets_a.boxes.shape == (1, 16, 4)
-    assert dets_b.boxes.shape == (1, 16, 4)
+    outs_a, outs_b = dual.process_batch(frames)
+    assert outs_a.boxes_frame.shape == (1, 16, 4)
+    assert outs_b.boxes_frame.shape == (1, 16, 4)
+    # Config 4 is a TRUE e2e dual number: both calibrated models measure.
+    assert outs_a.measurements is not None
+    assert outs_b.measurements is not None
+    assert outs_a.telemetry["n_candidates"].shape == (1,)
 
 
 def test_pipeline_sharded_over_mesh(rng):

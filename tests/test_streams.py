@@ -30,5 +30,18 @@ def test_four_stream_line():
         outs, _ = results[-1]
         assert outs.boxes_frame.shape == (4, 8, 4)
         assert all(w.stats.captured > 0 for w in runner.workers)
+
+        # Pipelined (async host-fed) stepping: first call primes the double
+        # buffer, each later call returns the PREVIOUS batch, flush drains.
+        assert runner.step_pipelined() is None
+        out1 = runner.step_pipelined()
+        assert out1 is not None
+        outs1, res1 = out1
+        assert outs1.boxes_frame.shape == (4, 8, 4)
+        assert res1 == []  # no calibration -> detection-only, no measurements
+        out2 = runner.flush()
+        assert out2 is not None
+        assert runner.flush() is None  # nothing left in flight
+        assert runner.batches == 3 + 2  # run(3) + two materialized pipelined
     finally:
         runner.stop()

@@ -303,7 +303,7 @@ def _make_anchors_torch(shapes: list[tuple[int, int]]) -> tuple[torch.Tensor, to
 def _greedy_nms_np(boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray,
                    iou_thresh: float) -> list[int]:
     """torchvision.ops.nms semantics (score-sorted greedy, class-offset trick
-    realised as a class equality mask)."""
+    realised as a class equality mask). Inner pass vectorized over candidates."""
     order = np.argsort(-scores, kind="stable")
     keep: list[int] = []
     suppressed = np.zeros(len(boxes), bool)
@@ -312,14 +312,14 @@ def _greedy_nms_np(boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray,
         if suppressed[i]:
             continue
         keep.append(int(i))
-        for j in order:
-            if suppressed[j] or j == i or classes[j] != classes[i]:
-                continue
-            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
-            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
-            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
-            if inter / max(areas[i] + areas[j] - inter, 1e-9) > iou_thresh:
-                suppressed[j] = True
+        lt = np.maximum(boxes[i, :2], boxes[:, :2])
+        rb = np.minimum(boxes[i, 2:], boxes[:, 2:])
+        wh = np.clip(rb - lt, 0.0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+        kill = (iou > iou_thresh) & (classes == classes[i])
+        kill[i] = False
+        suppressed |= kill
     return keep
 
 

@@ -57,6 +57,11 @@ def main() -> None:
     ap.add_argument("--frame-w", type=int, default=1280)
     ap.add_argument("--out", default="PARITY_REPORT.md")
     ap.add_argument("--seed", type=int, default=0)
+    # The random report model lights up ~900 anchors at 960px; the production
+    # pre_topk=256 cap would make the comparison measure the budget, not the
+    # chain. Size the candidate budget to the scene.
+    ap.add_argument("--pre-topk", type=int, default=4096)
+    ap.add_argument("--max-det", type=int, default=200)
     args = ap.parse_args()
 
     import jax
@@ -81,29 +86,37 @@ def main() -> None:
 
     tmodel = make_detecting_model("n", nc=2, seed=args.seed)
     variables = convert_torch_state_dict(tmodel.state_dict())
-    frame_hw = (args.frame_h, args.frame_w)
 
+    # Two deployment-scale geometries: the reference's 1280x960 frames (0.75
+    # resample — includes the documented cv2-u8 vs float resize difference) and
+    # an identity-scale 960x736 frame (no resample: every stage bit-comparable).
+    geometries = [
+        ("resample-0.75", (args.frame_h, args.frame_w)),
+        ("identity-scale", (736, 960)),
+    ]
     rows = []
-    for dtype in ("float32", "bfloat16"):
+    for geo_name, frame_hw in geometries:
+      for dtype in ("float32", "bfloat16"):
         cfg = ModelConfig(
             variant="n", num_classes=2, image_size=args.imgsz, letterbox="rect",
-            dtype=dtype, conf_thresh=0.20, iou_thresh=0.25, max_detections=200,
-            nms_pre_topk=256,
+            dtype=dtype, conf_thresh=0.20, iou_thresh=0.25,
+            max_detections=args.max_det, nms_pre_topk=args.pre_topk,
         )
         jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
-        predictor = Predictor(cfg, variables, frame_hw, mask_topk=64,
+        predictor = Predictor(cfg, variables, frame_hw, mask_topk=args.max_det,
                               model=create_model("n", nc=2, dtype=jdt))
-        print(f"[{dtype}] input geometry: {predictor.spec}", file=sys.stderr)
+        print(f"[{geo_name}/{dtype}] input geometry: {predictor.spec}", file=sys.stderr)
 
         stats = dict(
-            dtype=dtype, frames=0, ref_dets=0, got_dets=0, matched=0,
+            geo=geo_name, dtype=dtype, frames=0, ref_dets=0, got_dets=0, matched=0,
             box_err=[], score_err=[], ious=[], count_mismatch=0,
         )
         t0 = time.time()
         for k in range(args.frames):
             frame = textured_frame(*frame_hw, seed=1000 + k)
             ref = ultralytics_predict(tmodel, frame, imgsz=args.imgsz,
-                                      conf_thresh=0.20, iou_thresh=0.25, max_det=200)
+                                      conf_thresh=0.20, iou_thresh=0.25,
+                                      max_det=args.max_det)
             got = predictor(frame[None])
             n_ref = len(ref["scores"])
             n_got = int(got.valid[0].sum())
@@ -143,7 +156,7 @@ def main() -> None:
         be = np.array(stats["box_err"]) if stats["box_err"] else np.array([np.nan])
         se = np.array(stats["score_err"]) if stats["score_err"] else np.array([np.nan])
         return (
-            f"| {stats['dtype']} | {stats['frames']} | {stats['ref_dets']} | "
+            f"| {stats['geo']} | {stats['dtype']} | {stats['frames']} | {stats['ref_dets']} | "
             f"{stats['got_dets']} | {stats['matched']} | {stats['count_mismatch']} | "
             f"{np.median(ious):.6f} | {ious.min():.6f} | "
             f"{float((ious >= 0.999).mean()):.3f} | {be.max():.3f} | {se.max():.2e} |"
@@ -184,16 +197,23 @@ def main() -> None:
         f"({args.frame_w}x{args.frame_h}).",
         f"- tti device platform: {platform}.",
         "",
-        "| tti dtype | frames | oracle dets | tti dets | matched | frames w/ count mismatch "
+        "| geometry | tti dtype | frames | oracle dets | tti dets | matched | frames w/ count mismatch "
         "| median mask IoU | min mask IoU | frac IoU>=0.999 | max box err (px) | max score err |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
         *[fmt(s) for s in rows],
         "",
-        "North star: mask IoU >= 0.999 (BASELINE.md). The f32 row measures design",
-        "parity; the bfloat16 row measures the production compute dtype. The oracle",
-        "letterbox resize is cv2-on-uint8 (Ultralytics quantizes the resized image",
-        "to u8) while tti resizes in float inside the fused graph — a deliberate,",
-        "documented sub-LSB difference (<= 0.5/255 per input pixel).",
+        "North star: mask IoU >= 0.999 (BASELINE.md). Read the table by row:",
+        "- identity-scale/float32 is the design-parity row: no resample, f32 —",
+        "  every chain stage is bit-comparable, so any deviation is a real bug.",
+        "- resample-0.75 adds the ONE documented implementation difference: the",
+        "  oracle (like Ultralytics) resizes with cv2 on uint8 (quantizing the",
+        "  letterboxed image to u8, mean 0.27 LSB deviation from the float",
+        "  resize); tti resizes in float inside the fused graph. The seeded",
+        "  random report network is chaotic (BN-calibrated, untrained), which",
+        "  AMPLIFIES that sub-LSB input difference; trained networks are locally",
+        "  smooth. See tests/test_predict_parity.py for the controlled version.",
+        "- bfloat16 rows measure the production compute dtype on the same",
+        "  chaotic network (worst case for rounding amplification).",
         "",
         f"Generated by tools/parity_report.py, {time.strftime('%Y-%m-%d %H:%M:%S')}.",
     ]

@@ -94,6 +94,7 @@ class Orchestrator:
         sleep: Callable[[float], None] = time.sleep,
         rng: random.Random | None = None,
         save_annotated: bool = True,
+        show: bool = False,
     ) -> None:
         self.config = config
         self.pipeline = pipeline
@@ -102,6 +103,11 @@ class Orchestrator:
         self.sleep = sleep
         self.rng = rng or random.Random()
         self.save_annotated = save_annotated
+        # Live display of the annotated frame in the hot loop with 'q' to quit
+        # (reference: main.py:296-329). Off by default: production runs are
+        # headless under systemd.
+        self.show = show
+        self._window = None
         self.timer = StageTimer()
 
         self.db: DatabaseHandler | None = None
@@ -180,6 +186,13 @@ class Orchestrator:
         self.source.release()
         if self.heartbeat:
             self.heartbeat.stop()
+        if self._window is not None:
+            try:
+                import cv2
+
+                cv2.destroyWindow(self._window)
+            except Exception:
+                pass
         log.info("shutdown complete: %d frames processed", self.frame_count)
 
     # -- one measurement tick --------------------------------------------------
@@ -279,9 +292,9 @@ class Orchestrator:
         )
         return result
 
-    def save_annotated_frame(self, frame: np.ndarray, result: dict) -> str | None:
-        if not self.save_annotated or self.session_dir is None:
-            return None
+    def render_annotated(self, frame: np.ndarray, result: dict) -> np.ndarray | None:
+        """Annotated copy of the frame (boxes/envelope/HUD), or None if cv2 is
+        unavailable."""
         try:
             import cv2
         except ImportError:
@@ -317,10 +330,36 @@ class Orchestrator:
 
             annotated = draw_measurement_geometry(annotated, outs.stitches,
                                                   None, index=0)
+        return annotated
+
+    def save_annotated_frame(self, frame: np.ndarray, result: dict,
+                             annotated: np.ndarray | None = None) -> str | None:
+        if not self.save_annotated or self.session_dir is None:
+            return None
+        annotated = annotated if annotated is not None else self.render_annotated(frame, result)
+        if annotated is None:
+            return None
+        import cv2
+
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
         path = os.path.join(self.session_dir, f"frame_{self.frame_count:05d}_{ts}.jpg")
         cv2.imwrite(path, annotated)
         return path
+
+    def _show_frame(self, annotated: np.ndarray | None) -> bool:
+        """Display the annotated frame; returns False when the user quits
+        ('q', reference main.py:326-329)."""
+        if annotated is None:
+            return True
+        try:
+            import cv2
+        except ImportError:
+            return True
+        if self._window is None:
+            self._window = "tti run (q to quit)"
+            cv2.namedWindow(self._window, cv2.WINDOW_NORMAL)
+        cv2.imshow(self._window, annotated)
+        return (cv2.waitKey(1) & 0xFF) != ord("q")
 
     # -- the loop -----------------------------------------------------------------
 
@@ -352,7 +391,12 @@ class Orchestrator:
                 now = self.clock()
                 if now - last_inference >= self.config.runtime.inference_interval_s:
                     result = self.process_once(frame)
-                    self.save_annotated_frame(frame, result)
+                    annotated = (self.render_annotated(frame, result)
+                                 if (self.save_annotated or self.show) else None)
+                    self.save_annotated_frame(frame, result, annotated)
+                    if self.show and not self._show_frame(annotated):
+                        log.info("display window closed by user ('q')")
+                        break
                     last_inference = now
                     self.frame_count += 1
                     if max_frames is not None and self.frame_count >= max_frames:

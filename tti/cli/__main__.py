@@ -129,7 +129,7 @@ def cmd_run(args) -> int:
         log.warning("calibration files missing — running detection-only")
 
     pipeline = _load_pipeline(cfg, frame_hw, calibration)
-    orch = Orchestrator(cfg, pipeline, source)
+    orch = Orchestrator(cfg, pipeline, source, show=getattr(args, "show", False))
     orch.init_services()
     orch.run(max_frames=args.max_frames)
     return 0
@@ -325,48 +325,77 @@ def cmd_view(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    """Evaluate weights on a YOLO-format dataset: box + mask mAP50/50-95."""
+    """Evaluate weights on a YOLO-format dataset: box mAP + mask mAP at BOTH
+    proto resolution (input/4 — cheap relative tracking) and FULL resolution
+    (the COCO-comparable protocol: predictions through the Ultralytics
+    process_mask(upsample=True) chain, GT rasterized at imgsz)."""
+    import dataclasses
+
     import numpy as np
 
-    from tti.postprocess.masks import upsample_masks
-    from tti.train.data import discover_dataset, sample_to_targets
+    from tti.app.predict import Predictor
+    from tti.model.convert import load_checkpoint
+    from tti.model.yolo import create_model, init_variables
+    from tti.train.data import discover_dataset, rasterize_polygon, sample_to_targets
     from tti.train.eval import ImageEval, evaluate
-
-    import dataclasses
 
     cfg = load_config(validate=False)
     model_cfg = dataclasses.replace(cfg.model, image_size=args.imgsz,
+                                    # eval images are square-resized (no pad),
+                                    # so square/rect letterbox coincide
                                     **({"weights": args.weights} if args.weights else {}))
     cfg = cfg.replace(model=model_cfg)
     samples = discover_dataset(args.images)
-    pipeline = _load_pipeline(cfg, (args.imgsz, args.imgsz), return_masks=True)
 
-    images_eval = []
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype)
+    variables = init_variables(model, image_size=64)
+    if cfg.model.weights and os.path.exists(cfg.model.weights):
+        variables = load_checkpoint(cfg.model.weights, variables)
+        log.info("loaded weights from %s", cfg.model.weights)
+    else:
+        log.warning("weights %r not found — using random init", cfg.model.weights)
+    predictor = Predictor(cfg.model, variables, (args.imgsz, args.imgsz),
+                          mask_topk=64, model=model, proto_masks=True)
+
+    eval_proto: list[ImageEval] = []
+    eval_full: list[ImageEval] = []
     for sample in samples:
         img, t = sample_to_targets(sample, args.imgsz, max_gt=64)
         bgr = (img[..., ::-1] * 255).astype(np.uint8)
-        outs = pipeline.process_batch(bgr[None])
-        valid = outs.valid[0]
-        hm = outs.masks.shape[-1] if outs.masks is not None else args.imgsz // 4
-        pred_masks = None
-        gt_masks = None
-        if outs.masks is not None:
-            pred_masks = outs.masks[0][valid]
-            gt_masks = np.asarray(t["masks"][t["valid"]])
-        images_eval.append(ImageEval(
-            pred_boxes=outs.boxes_frame[0][valid],
-            pred_scores=outs.scores[0][valid],
-            pred_classes=outs.classes[0][valid],
+        res = predictor(bgr[None])
+        valid = res.valid[0]
+        m = min(int(valid.sum()), res.masks_input.shape[1])
+        common = dict(
+            pred_boxes=res.boxes[0][valid][:m],
+            pred_scores=res.scores[0][valid][:m],
+            pred_classes=res.classes[0][valid][:m],
             gt_boxes=t["boxes"][t["valid"]],
             gt_classes=t["classes"][t["valid"]],
-            pred_masks=pred_masks, gt_masks=gt_masks,
+        )
+        eval_proto.append(ImageEval(
+            **common,
+            pred_masks=res.masks_proto[0][:m],
+            gt_masks=np.asarray(t["masks"][t["valid"]]),
+        ))
+        polys = sample.polygons[: int(t["valid"].sum())]  # match the GT cap
+        gt_full = (np.stack([rasterize_polygon(p, (args.imgsz, args.imgsz))
+                             for p in polys])
+                   if polys else np.zeros((0, args.imgsz, args.imgsz), np.float32))
+        eval_full.append(ImageEval(
+            **common,
+            pred_masks=res.masks_input[0][:m],
+            gt_masks=gt_full,
         ))
 
-    box_metrics = evaluate(images_eval, cfg.model.num_classes)
+    box_metrics = evaluate(eval_full, cfg.model.num_classes)
     print("box:", {k: round(v, 4) for k, v in box_metrics.items()})
-    if images_eval and images_eval[0].pred_masks is not None:
-        mask_metrics = evaluate(images_eval, cfg.model.num_classes, use_masks=True)
-        print("mask:", {k: round(v, 4) for k, v in mask_metrics.items()})
+    proto_metrics = evaluate(eval_proto, cfg.model.num_classes, use_masks=True)
+    print("mask(proto-res):", {k: round(v, 4) for k, v in proto_metrics.items()})
+    full_metrics = evaluate(eval_full, cfg.model.num_classes, use_masks=True)
+    print("mask(full-res):", {k: round(v, 4) for k, v in full_metrics.items()})
     return 0
 
 
@@ -428,7 +457,10 @@ def cmd_train(args) -> int:
     samples = discover_dataset(args.images)
     model = create_model(args.variant, nc=args.num_classes)
     variables = init_variables(model, image_size=args.imgsz)
-    state, tx = create_train_state(model, variables, learning_rate=args.lr)
+    steps_per_epoch = max(len(samples) // args.batch_size, 1)
+    total_steps = steps_per_epoch * args.epochs
+    state, tx = create_train_state(model, variables, learning_rate=args.lr,
+                                   total_steps=total_steps)
     mesh = create_mesh() if jax.device_count() > 1 else None
     step = make_train_step(model, tx, (args.imgsz, args.imgsz), mesh=mesh)
     if mesh is not None:
@@ -482,6 +514,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--skip-calibration", action="store_true")
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--show", action="store_true",
+                   help="live annotated display, 'q' quits (reference main.py:296-329)")
     p.add_argument("--cameras", type=int, default=1,
                    help="multi-camera line: N streams through one device pipeline")
     p.set_defaults(func=cmd_run)

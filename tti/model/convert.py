@@ -301,7 +301,10 @@ def load_checkpoint(path: str, template: Tree) -> Tree:
         import orbax.checkpoint as ocp
 
         restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
-        out = {"params": restored["params"]}
+        # Deploy the EMA weights when the trainer produced them (the
+        # Ultralytics-recipe "best" model is the EMA, not the raw params).
+        params = restored.get("ema_params") or restored["params"]
+        out = {"params": params}
         if "batch_stats" in template and restored.get("batch_stats") is not None:
             out["batch_stats"] = restored["batch_stats"]
         problems = verify_tree_shapes(out, {k: template[k] for k in out})

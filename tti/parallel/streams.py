@@ -83,6 +83,7 @@ class MultiStreamRunner:
             for _ in sources
         ]
         self.batches = 0
+        self._inflight = None  # device buffers of the dispatched-but-unread step
 
     def start(self) -> None:
         for w in self.workers:
@@ -106,13 +107,10 @@ class MultiStreamRunner:
         gather_batch([w.ring for w in self.workers], batch)
         return batch
 
-    def step(self):
-        """One device step over all streams; returns per-stream smoothed
-        measurements + raw outputs."""
+    def _finish(self, outs):
+        """Host-side bookkeeping shared by the sync and pipelined paths."""
         import jax
 
-        batch = self.assemble_batch()
-        outs = self.pipeline.process_batch(batch)
         results = []
         if outs.measurements is not None:
             for i in range(len(self.workers)):
@@ -125,6 +123,33 @@ class MultiStreamRunner:
         for w in self.workers:
             w.stats.processed_batches += 1
         return outs, results
+
+    def step(self):
+        """One blocking device step over all streams; returns per-stream
+        smoothed measurements + raw outputs."""
+        batch = self.assemble_batch()
+        return self._finish(self.pipeline.process_batch(batch))
+
+    def step_pipelined(self):
+        """Double-buffered step: dispatch THIS batch asynchronously, then
+        materialize the PREVIOUS batch's results — ring snapshot, H2D upload
+        and host postprocessing all overlap the device compute of the batch in
+        flight (the async host-fed path; reference has no equivalent — its loop
+        is strictly synchronous, main.py:187-329). Returns None on the first
+        call (nothing in flight yet); call flush() to drain the last batch."""
+        batch = self.assemble_batch()
+        inflight = self.pipeline.process_batch_async(batch)
+        prev, self._inflight = self._inflight, inflight
+        if prev is None:
+            return None
+        return self._finish(self.pipeline.outputs_to_host(prev))
+
+    def flush(self):
+        """Materialize the final in-flight batch (pipelined mode)."""
+        prev, self._inflight = self._inflight, None
+        if prev is None:
+            return None
+        return self._finish(self.pipeline.outputs_to_host(prev))
 
     def run(self, num_batches: int, interval_s: float = 0.0) -> list:
         out = []

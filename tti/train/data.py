@@ -119,34 +119,157 @@ def load_image(path: str, imgsz: int) -> np.ndarray:
         return np.asarray(img, np.float32) / 255.0
 
 
-def sample_to_targets(
-    sample: Sample, imgsz: int, max_gt: int, hflip: bool = False
+def scene_to_targets(
+    image: np.ndarray, polygons: list[np.ndarray], classes: list[int],
+    imgsz: int, max_gt: int,
 ) -> tuple[np.ndarray, dict]:
-    image = load_image(sample.image_path, imgsz)
+    """(image [0,1] float (S,S,3), normalized polygons) -> padded Targets dict.
+    Degenerate GT (clipped away by augmentation) is dropped."""
     hm = wm = imgsz // 4
     boxes = np.zeros((max_gt, 4), np.float32)
-    classes = np.zeros((max_gt,), np.int32)
+    out_classes = np.zeros((max_gt,), np.int32)
     masks = np.zeros((max_gt, hm, wm), np.float32)
     valid = np.zeros((max_gt,), bool)
-    if hflip:
-        image = image[:, ::-1].copy()
     n_kept = 0
-    for poly, cls in zip(sample.polygons, sample.classes):
+    for poly, cls in zip(polygons, classes):
         if n_kept >= max_gt:
-            log.debug("sample %s: dropping GT beyond max_gt=%d", sample.image_path, max_gt)
+            log.debug("scene: dropping GT beyond max_gt=%d", max_gt)
             break
-        p = poly.copy()
-        if hflip:
-            p[:, 0] = 1.0 - p[:, 0]
+        p = np.clip(poly, 0.0, 1.0)
+        w = p[:, 0].max() - p[:, 0].min()
+        h = p[:, 1].max() - p[:, 1].min()
+        if w * imgsz < 2.0 or h * imgsz < 2.0:
+            continue  # clipped to a sliver by augmentation
         boxes[n_kept] = [
             p[:, 0].min() * imgsz, p[:, 1].min() * imgsz,
             p[:, 0].max() * imgsz, p[:, 1].max() * imgsz,
         ]
-        classes[n_kept] = cls
+        out_classes[n_kept] = cls
         masks[n_kept] = rasterize_polygon(p, (hm, wm))
         valid[n_kept] = True
         n_kept += 1
-    return image, {"boxes": boxes, "classes": classes, "masks": masks, "valid": valid}
+    return image, {"boxes": boxes, "classes": out_classes, "masks": masks, "valid": valid}
+
+
+def sample_to_targets(
+    sample: Sample, imgsz: int, max_gt: int, hflip: bool = False
+) -> tuple[np.ndarray, dict]:
+    image = load_image(sample.image_path, imgsz)
+    polys = [p.copy() for p in sample.polygons]
+    if hflip:
+        image = image[:, ::-1].copy()
+        for p in polys:
+            p[:, 0] = 1.0 - p[:, 0]
+    return scene_to_targets(image, polys, sample.classes, imgsz, max_gt)
+
+
+# ---------------------------------------------------------------------------
+# Augmentation (the reference outsources training entirely — config.py:67;
+# these mirror the Ultralytics train-time defaults: mosaic, hflip 0.5,
+# HSV h=0.015/s=0.7/v=0.4, random scale +-0.5)
+# ---------------------------------------------------------------------------
+
+
+def hsv_jitter(image: np.ndarray, rng: np.random.Generator,
+               hgain: float = 0.015, sgain: float = 0.7, vgain: float = 0.4) -> np.ndarray:
+    """Random HSV color jitter on a [0,1] RGB float image."""
+    try:
+        import cv2
+    except ImportError:
+        # Value-only jitter fallback (no dependency).
+        return np.clip(image * rng.uniform(1 - vgain, 1 + vgain), 0.0, 1.0)
+    r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+    hsv = cv2.cvtColor((image * 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
+    h, s, v = cv2.split(hsv)
+    h = ((h.astype(np.float32) * r[0]) % 180).astype(np.uint8)
+    s = np.clip(s.astype(np.float32) * r[1], 0, 255).astype(np.uint8)
+    v = np.clip(v.astype(np.float32) * r[2], 0, 255).astype(np.uint8)
+    out = cv2.cvtColor(cv2.merge([h, s, v]), cv2.COLOR_HSV2RGB)
+    return out.astype(np.float32) / 255.0
+
+
+def random_scale_shift(
+    image: np.ndarray, polygons: list[np.ndarray], rng: np.random.Generator,
+    scale: float = 0.5, translate: float = 0.1,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Random zoom about the center + translation (the affine core of
+    Ultralytics' RandomPerspective with degrees/shear off)."""
+    s = rng.uniform(1 - scale, 1 + scale)
+    tx = rng.uniform(-translate, translate)
+    ty = rng.uniform(-translate, translate)
+    h, w = image.shape[:2]
+    # Normalized-coordinate affine: p' = (p - 0.5) * s + 0.5 + t
+    out_polys = [((p - 0.5) * s + 0.5 + np.array([tx, ty], np.float32)).astype(np.float32)
+                 for p in polygons]
+    try:
+        import cv2
+
+        m = np.array([[s, 0, (0.5 + tx - 0.5 * s) * w],
+                      [0, s, (0.5 + ty - 0.5 * s) * h]], np.float32)
+        out = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR,
+                             borderValue=(0.447, 0.447, 0.447))  # 114/255 gray
+        return out.astype(np.float32), out_polys
+    except ImportError:
+        # Gather-based nearest affine fallback.
+        ys, xs = np.mgrid[0:h, 0:w]
+        sx = ((xs + 0.5) / w - 0.5 - tx) / s + 0.5
+        sy = ((ys + 0.5) / h - 0.5 - ty) / s + 0.5
+        xi = np.clip((sx * w - 0.5).round().astype(int), 0, w - 1)
+        yi = np.clip((sy * h - 0.5).round().astype(int), 0, h - 1)
+        out = image[yi, xi]
+        oob = (sx < 0) | (sx >= 1) | (sy < 0) | (sy >= 1)
+        out[oob] = 0.447
+        return out.astype(np.float32), out_polys
+
+
+def mosaic4(
+    samples: list[Sample], imgsz: int, rng: np.random.Generator,
+) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+    """4-image mosaic: a 2Sx2S canvas with one image per quadrant, randomly
+    cropped back to SxS around a jittered center (the coverage-diversity
+    workhorse of the YOLO training recipe)."""
+    s = imgsz
+    canvas = np.full((2 * s, 2 * s, 3), 114 / 255.0, np.float32)
+    polys: list[np.ndarray] = []
+    classes: list[int] = []
+    for quadrant, sample in enumerate(samples[:4]):
+        img = load_image(sample.image_path, s)
+        oy, ox = (quadrant // 2) * s, (quadrant % 2) * s
+        canvas[oy:oy + s, ox:ox + s] = img
+        for poly, cls in zip(sample.polygons, sample.classes):
+            p = poly * 0.5 + np.array([ox, oy], np.float32) / (2 * s)
+            polys.append(p.astype(np.float32))
+            classes.append(cls)
+    # Crop an SxS window around a jittered center.
+    cx = int(rng.uniform(0.25, 0.75) * 2 * s)
+    cy = int(rng.uniform(0.25, 0.75) * 2 * s)
+    x0 = int(np.clip(cx - s // 2, 0, s))
+    y0 = int(np.clip(cy - s // 2, 0, s))
+    image = canvas[y0:y0 + s, x0:x0 + s].copy()
+    out_polys = [(p * 2 * s - np.array([x0, y0], np.float32)) / s for p in polys]
+    return image, out_polys, classes
+
+
+def augmented_scene(
+    samples: list[Sample], idxs: np.ndarray, imgsz: int, rng: np.random.Generator,
+    mosaic_p: float = 1.0, scale: float = 0.5, flip_p: float = 0.5,
+) -> tuple[np.ndarray, list[np.ndarray], list[int]]:
+    """One augmented training scene from dataset indices: mosaic (prob
+    mosaic_p) or single image, then random scale/shift, HSV jitter, hflip."""
+    if len(idxs) >= 4 and rng.uniform() < mosaic_p:
+        image, polys, classes = mosaic4([samples[i] for i in idxs[:4]], imgsz, rng)
+    else:
+        sample = samples[idxs[0]]
+        image = load_image(sample.image_path, imgsz)
+        polys = [p.copy() for p in sample.polygons]
+        classes = list(sample.classes)
+    image, polys = random_scale_shift(image, polys, rng, scale=scale)
+    image = hsv_jitter(image, rng)
+    if rng.uniform() < flip_p:
+        image = image[:, ::-1].copy()
+        for p in polys:
+            p[:, 0] = 1.0 - p[:, 0]
+    return image, polys, classes
 
 
 def batches(
@@ -179,8 +302,16 @@ def batches(
         for start in range(0, len(order) - batch_size + 1, batch_size):
             imgs, tgts = [], []
             for idx in order[start : start + batch_size]:
-                flip = bool(augment and rng.uniform() < 0.5)
-                img, t = sample_to_targets(samples[idx], imgsz, max_gt, hflip=flip)
+                if augment:
+                    # Full train-time recipe: the epoch image is the mosaic
+                    # primary, 3 random co-images, then scale/HSV/flip.
+                    others = rng.integers(0, len(samples), 3)
+                    img, polys, cls = augmented_scene(
+                        samples, np.concatenate([[idx], others]), imgsz, rng
+                    )
+                    img, t = scene_to_targets(img, polys, cls, imgsz, max_gt)
+                else:
+                    img, t = sample_to_targets(samples[idx], imgsz, max_gt)
                 imgs.append(img)
                 tgts.append(t)
             stack = {k: np.stack([t[k] for t in tgts]) for k in tgts[0]}

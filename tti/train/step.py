@@ -38,6 +38,9 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: Array
+    # Exponential moving average of params (the deployment weights — matches
+    # the Ultralytics recipe, where the saved "best" model is the EMA).
+    ema_params: Any = None
 
 
 @flax.struct.dataclass
@@ -51,18 +54,46 @@ class Targets:
 
 
 def create_train_state(
-    model: YOLOv8Seg, variables: dict, learning_rate: float = 1e-3, weight_decay: float = 5e-4
+    model: YOLOv8Seg,
+    variables: dict,
+    learning_rate: float = 1e-3,
+    weight_decay: float = 5e-4,
+    total_steps: int | None = None,
+    warmup_steps: int | None = None,
 ) -> tuple[TrainState, optax.GradientTransformation]:
+    """Optimizer: AdamW under global-norm clipping. With ``total_steps`` the
+    LR follows linear warmup -> cosine decay to 1% of peak (the standard
+    detection recipe; Ultralytics uses warmup_epochs=3 + cosine/linear decay);
+    without it the LR is constant (smoke tests, tiny runs)."""
+    if total_steps is not None:
+        warmup = warmup_steps if warmup_steps is not None else max(
+            20, min(1000, total_steps // 20)
+        )
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 1e-2,
+            peak_value=learning_rate,
+            warmup_steps=warmup,
+            decay_steps=total_steps,
+            end_value=learning_rate * 1e-2,
+        )
+    else:
+        schedule = learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
-        optax.adamw(learning_rate, weight_decay=weight_decay),
+        optax.adamw(schedule, weight_decay=weight_decay),
     )
+    # EMA starts equal to params but must be a DISTINCT buffer tree: the
+    # jitted step donates the whole state, and aliased params/ema leaves would
+    # be donated twice (XLA: "Attempt to donate the same buffer twice").
+    ema0 = jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                  variables["params"])
     return (
         TrainState(
             params=variables["params"],
             batch_stats=variables["batch_stats"],
             opt_state=tx.init(variables["params"]),
             step=jnp.zeros((), jnp.int32),
+            ema_params=ema0,
         ),
         tx,
     )
@@ -148,6 +179,8 @@ def make_train_step(
     tx: optax.GradientTransformation,
     input_hw: tuple[int, int],
     mesh: Mesh | None = None,
+    ema_decay: float = 0.999,
+    ema_tau: float = 2000.0,
 ):
     """Build the jitted DP train step.
 
@@ -188,11 +221,21 @@ def make_train_step(
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # EMA with the Ultralytics ramp: d = decay*(1 - exp(-step/tau)) — near
+        # zero early (EMA tracks the fast-moving young model), saturating to
+        # `ema_decay` once training stabilizes.
+        step1 = state.step + 1
+        d = ema_decay * (1.0 - jnp.exp(-step1.astype(jnp.float32) / ema_tau))
+        ema_src = state.ema_params if state.ema_params is not None else state.params
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), ema_src, new_params
+        )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
-            step=state.step + 1,
+            step=step1,
+            ema_params=new_ema,
         )
         return new_state, {"total": total, **losses}
 
