@@ -569,6 +569,12 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(func=cmd_bench)
 
     args = parser.parse_args(argv)
+    # Multi-host is a deployment configuration, not a code path: when the
+    # TTI_COORDINATOR env triple is set, every subcommand's mesh spans all
+    # hosts' chips (tti/parallel/dcn.py; smoke: tests/test_dcn.py).
+    from tti.parallel.dcn import init_distributed
+
+    init_distributed()
     return args.func(args)
 
 

@@ -101,9 +101,19 @@ def rasterize_polygon(poly_norm: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     return mask
 
 
-def load_image(path: str, imgsz: int) -> np.ndarray:
-    """Image file -> letterbox-free square resize (training uses square resize
-    like Ultralytics' default mosaic-off val path), normalized RGB float."""
+_IMAGE_CACHE: dict[tuple[str, int], np.ndarray] = {}
+_IMAGE_CACHE_MAX_BYTES = 2 << 30  # ~2 GB of decoded u8 (mosaic re-reads every
+_image_cache_bytes = 0            # image ~4x/epoch; decode+resize dominates)
+
+
+def _load_resized_u8(path: str, imgsz: int) -> np.ndarray:
+    """Decoded + square-resized RGB uint8, memoized. Callers must NOT mutate
+    the returned array (every consumer copies before writing)."""
+    global _image_cache_bytes
+    key = (path, imgsz)
+    cached = _IMAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     try:
         import cv2
 
@@ -111,12 +121,21 @@ def load_image(path: str, imgsz: int) -> np.ndarray:
         if img is None:
             raise IOError(f"unreadable image {path}")
         img = cv2.resize(img, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)
-        return img[..., ::-1].astype(np.float32) / 255.0
+        img = np.ascontiguousarray(img[..., ::-1])
     except ImportError:
         from PIL import Image
 
-        img = Image.open(path).convert("RGB").resize((imgsz, imgsz))
-        return np.asarray(img, np.float32) / 255.0
+        img = np.asarray(Image.open(path).convert("RGB").resize((imgsz, imgsz)))
+    if _image_cache_bytes + img.nbytes <= _IMAGE_CACHE_MAX_BYTES:
+        _IMAGE_CACHE[key] = img
+        _image_cache_bytes += img.nbytes
+    return img
+
+
+def load_image(path: str, imgsz: int) -> np.ndarray:
+    """Image file -> letterbox-free square resize (training uses square resize
+    like Ultralytics' default mosaic-off val path), normalized RGB float."""
+    return _load_resized_u8(path, imgsz).astype(np.float32) / 255.0
 
 
 def scene_to_targets(
