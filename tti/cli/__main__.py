@@ -166,7 +166,12 @@ def _run_multistream(args, cfg) -> int:
             log.error("streams produced no frames")
             return 1
         while args.max_frames is None or batches < args.max_frames:
-            outs, results = runner.step()
+            # Pipelined: ring snapshot + H2D of THIS batch overlap the device
+            # compute of the previous one (tti/parallel/streams.py).
+            stepped = runner.step_pipelined()
+            if stepped is None:
+                continue  # first call primes the double buffer
+            outs, results = stepped
             if results:
                 for stream, meas in enumerate(results):
                     d = measurement_to_dict(meas)
@@ -187,6 +192,7 @@ def _run_multistream(args, cfg) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        runner.flush()  # drain the in-flight pipelined batch
         runner.stop()
         log.info("multistream shutdown: %d batches x %d streams", batches, len(sources))
     return 0
@@ -467,19 +473,43 @@ def cmd_train(args) -> int:
         state = replicate(mesh, state)
 
     seen = 0
-    for imgs, targets in batches(samples, args.batch_size, args.imgsz,
-                                 max_gt=args.max_gt, epochs=args.epochs):
-        x = jnp.asarray(imgs)
-        if mesh is not None:
-            x = shard_batch(mesh, x)
-            targets = shard_batch(mesh, targets)
-        state, metrics = step(state, x, targets)
-        seen += 1
-        if seen % args.log_every == 0:
-            vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            print(f"step {seen}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
-        if args.checkpoint_every and seen % args.checkpoint_every == 0:
-            save_train_state(state, args.out, step=seen)
+    if not args.host_aug:
+        # Device-side augmentation (tti/train/augment.py): the dataset lives
+        # in HBM; mosaic/affine/HSV/flip run as one jitted program per step.
+        # Per-step host work is an RNG fold + dispatch — essential on small
+        # deployment hosts, where the cv2 recipe costs seconds per sample.
+        from tti.train.augment import build_device_dataset, make_augment_fn
+
+        data = build_device_dataset(samples, args.imgsz, args.max_gt)
+        data = replicate(mesh, data) if mesh is not None else jax.device_put(data)
+        augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh)
+        key = jax.random.key(0)
+        for seen in range(1, total_steps + 1):
+            x, targets = augment(data, jax.random.fold_in(key, seen))
+            state, metrics = step(state, x, targets)
+            if seen % args.log_every == 0:
+                vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                print(f"step {seen}/{total_steps}: "
+                      + " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
+                      flush=True)
+            if args.checkpoint_every and seen % args.checkpoint_every == 0:
+                save_train_state(state, args.out, step=seen)
+    else:
+        for imgs, targets in batches(samples, args.batch_size, args.imgsz,
+                                     max_gt=args.max_gt, epochs=args.epochs):
+            x = jnp.asarray(imgs)
+            if mesh is not None:
+                x = shard_batch(mesh, x)
+                targets = shard_batch(mesh, targets)
+            state, metrics = step(state, x, targets)
+            seen += 1
+            if seen % args.log_every == 0:
+                vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                print(f"step {seen}: "
+                      + " ".join(f"{k}={v:.4f}" for k, v in vals.items()),
+                      flush=True)
+            if args.checkpoint_every and seen % args.checkpoint_every == 0:
+                save_train_state(state, args.out, step=seen)
     path = save_train_state(state, args.out, step=seen)
     print("final checkpoint:", path)
     return 0
@@ -549,6 +579,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-gt", type=int, default=32)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--host-aug", action="store_true",
+                   help="cv2 host-side augmentation instead of the default "
+                        "device-side (HBM-resident) pipeline")
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("view", help="live camera view")

@@ -69,6 +69,8 @@ def create_train_state(
         warmup = warmup_steps if warmup_steps is not None else max(
             20, min(1000, total_steps // 20)
         )
+        # Tiny runs (smoke tests): warmup must leave a positive cosine phase.
+        warmup = min(warmup, max(total_steps // 5, 1))
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=learning_rate * 1e-2,
             peak_value=learning_rate,
