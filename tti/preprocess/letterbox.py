@@ -163,6 +163,26 @@ def _integer_decimation(spec: LetterboxSpec) -> int | None:
     return decimation_stride(spec)
 
 
+def _row_decimation(spec: LetterboxSpec) -> int | None:
+    """Integer-decimation gate for the ROW axis only. At an exact odd integer
+    scale (1080p -> 360 rows is 3x) the bilinear sample positions are integers,
+    so row selection is a strided slice of CONTIGUOUS whole rows — no lane
+    relayout (the failure mode of full 2-D decimation, see
+    _integer_decimation) — and the W resize then reads k-times less data.
+    Default ON (TTI_LETTERBOX_ROWSLICE=0 opts out)."""
+    import os
+
+    if os.environ.get("TTI_LETTERBOX_ROWSLICE", "1") == "0":
+        return None
+    if spec.new_h == 0 or spec.src_h % spec.new_h:
+        return None
+    k = spec.src_h // spec.new_h
+    # Odd k: sample position (y+0.5)*k - 0.5 = k*y + (k-1)/2 is integral.
+    if k < 2 or k % 2 == 0:
+        return None
+    return k
+
+
 def letterbox_content(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float32) -> Array:
     """uint8 BGR -> normalized RGB resized CONTENT only (B, new_h, new_w, 3) —
     the letterbox without its padding (with the integer-decimation fast path).
@@ -173,8 +193,13 @@ def letterbox_content(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float
         off = (k - 1) // 2
         small = frames_bgr_u8[:, off::k, off::k, :][:, : spec.new_h, : spec.new_w, :]
         return small[..., ::-1].astype(dtype) / 255.0
-    x = normalize(bgr_to_rgb(frames_bgr_u8), dtype)
     b = frames_bgr_u8.shape[0]
+    src = frames_bgr_u8
+    kr = _row_decimation(spec)
+    if kr is not None:
+        off = (kr - 1) // 2
+        src = src[:, off::kr, :, :][:, : spec.new_h]
+    x = normalize(bgr_to_rgb(src), dtype)
     return jax.image.resize(
         x.astype(dtype), (b, spec.new_h, spec.new_w, 3), method="bilinear",
         antialias=False,
