@@ -163,16 +163,28 @@ def _integer_decimation(spec: LetterboxSpec) -> int | None:
     return decimation_stride(spec)
 
 
-def _row_decimation(spec: LetterboxSpec) -> int | None:
+ROWSLICE_MAX_BATCH = 32  # measured crossover, v5e (see STATUS ledger)
+
+
+def _row_decimation(spec: LetterboxSpec, batch: int) -> int | None:
     """Integer-decimation gate for the ROW axis only. At an exact odd integer
     scale (1080p -> 360 rows is 3x) the bilinear sample positions are integers,
     so row selection is a strided slice of CONTIGUOUS whole rows — no lane
     relayout (the failure mode of full 2-D decimation, see
     _integer_decimation) — and the W resize then reads k-times less data.
-    Default ON (TTI_LETTERBOX_ROWSLICE=0 opts out)."""
+
+    Batch-adaptive (v5e, 1080p->640 e2e): at batch 1 the slice is an 8x p50
+    latency win (1.49 vs 12.32 ms — the fused big resize has a large fixed
+    cost); at batch 128 it LOSES 3.4% throughput (4042 -> 3904 f/s — XLA's
+    fused u8->f16 resize already reads only needed samples at high occupancy).
+    Default: sliced at batch <= 32. TTI_LETTERBOX_ROWSLICE=1 forces on,
+    =0 forces off."""
     import os
 
-    if os.environ.get("TTI_LETTERBOX_ROWSLICE", "1") == "0":
+    force = os.environ.get("TTI_LETTERBOX_ROWSLICE")
+    if force == "0":
+        return None
+    if force != "1" and batch > ROWSLICE_MAX_BATCH:
         return None
     if spec.new_h == 0 or spec.src_h % spec.new_h:
         return None
@@ -195,7 +207,7 @@ def letterbox_content(frames_bgr_u8: Array, spec: LetterboxSpec, dtype=jnp.float
         return small[..., ::-1].astype(dtype) / 255.0
     b = frames_bgr_u8.shape[0]
     src = frames_bgr_u8
-    kr = _row_decimation(spec)
+    kr = _row_decimation(spec, b)
     if kr is not None:
         off = (kr - 1) // 2
         src = src[:, off::kr, :, :][:, : spec.new_h]
