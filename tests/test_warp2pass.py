@@ -1,0 +1,101 @@
+"""Two-pass matmul warp (tti/preprocess/warp2pass.py) vs the gather remap.
+
+The two-pass Catmull-Smith decomposition must reproduce the single-pass
+bilinear remap to sub-LSB accuracy for the deployment lens model, including
+the pad-border behavior, and fall back cleanly on non-monotonic maps.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from tti.preprocess.letterbox import PAD_VALUE, letterbox_spec
+from tti.preprocess.remap import build_small_undistort_map, remap_bilinear
+from tti.preprocess.warp2pass import TwoPassWarp
+
+# Deployment-shaped intrinsics scaled to a small frame (fast on CPU).
+FH, FW = 240, 320
+K = np.array([[937.14 * FW / 1280, 0, 636.15 * FW / 1280],
+              [0, 884.02 * FH / 960, 422.39 * FH / 960],
+              [0, 0, 1.0]])
+DIST = np.array([0.0799, 0.0476, -0.0401, -0.0052, -0.1334])
+
+
+def _content(rng, spec):
+    img = rng.random((2, spec.new_h, spec.new_w, 3), np.float32)
+    # smooth it so interpolation differences are meaningful, not noise-driven
+    img = (img + np.roll(img, 1, 1) + np.roll(img, 1, 2) + np.roll(img, 2, 2)) / 4
+    return img
+
+
+def test_two_pass_zero_distortion_exact():
+    """With no distortion the maps are separable -> the decomposition must be
+    EXACT (pins the builder mechanics; any deviation is a bug)."""
+    spec = letterbox_spec(FH, FW, 160)
+    m = build_small_undistort_map(K, np.zeros(5), spec, unpadded_src=True)
+    warp = TwoPassWarp(m, (spec.new_h, spec.new_w))
+    content = _content(np.random.default_rng(0), spec)
+    exact = np.asarray(remap_bilinear(jnp.asarray(content), jnp.asarray(m)))
+    got = np.asarray(warp(jnp.asarray(content)))
+    np.testing.assert_allclose(got, exact, atol=1e-5)
+
+
+def test_two_pass_positional_contract():
+    """Deployment distortion: the only deviation from single-pass bilinear is
+    the interpolation kernel. Contract (measured on the deployment lens):
+    core of the frame EXACT, p99 positional error < 0.01 px, >0.25 px only on
+    the outermost edge columns. Positional error is read off directly by
+    warping coordinate-ramp images."""
+    spec = letterbox_spec(FH, FW, 160)
+    m = build_small_undistort_map(K, DIST, spec, unpadded_src=True)
+    warp = TwoPassWarp(m, (spec.new_h, spec.new_w))
+    h, w = spec.new_h, spec.new_w
+    pad = PAD_VALUE / 255.0
+    for axis, scale in ((1, h), (2, w)):
+        ramp = np.broadcast_to(
+            (np.arange(scale, dtype=np.float32) / scale).reshape(
+                (1, scale, 1) if axis == 1 else (1, 1, scale)
+            ),
+            (1, h, w),
+        )[..., None]
+        exact = np.asarray(remap_bilinear(jnp.asarray(ramp), jnp.asarray(m)))
+        got = np.asarray(warp(jnp.asarray(ramp)))
+        live = (np.abs(exact - pad) > 1e-6) & (np.abs(got - pad) > 1e-6)
+        err_px = np.where(live, np.abs(got - exact) * scale, 0.0)[0, ..., 0]
+        hh, ww = err_px.shape
+        core = err_px[hh // 4 : 3 * hh // 4, ww // 4 : 3 * ww // 4]
+        assert core.max() < 1e-3, f"core not exact: {core.max()}"
+        assert np.percentile(err_px, 99) < 0.01
+        ys, xs = np.nonzero(err_px > 0.25)
+        assert len(ys) < 0.001 * err_px.size
+        assert np.all((xs < 8) | (xs >= ww - 8)), "large deviation off-edge"
+
+
+def test_two_pass_rejects_non_monotonic():
+    spec = letterbox_spec(FH, FW, 160)
+    m = build_small_undistort_map(K, DIST, spec, unpadded_src=True)
+    bad = m.copy()
+    rows = slice(m.shape[0] // 2 - 4, m.shape[0] // 2 + 4)
+    bad[rows, :, 1] = bad[rows, :, 1][::-1]  # fold the vertical map
+    with pytest.raises(ValueError):
+        TwoPassWarp(bad, (spec.new_h, spec.new_w))
+
+
+def test_pipeline_selects_two_pass_by_default(rng=None):
+    from tti.calib.io import CalibrationData
+    from tti.core.config import ModelConfig
+    from tti.parallel.runtime import InspectionPipeline
+    from tti.model.yolo import create_model, init_variables
+
+    calib = CalibrationData(K=K, dist=DIST, rvec=np.zeros(3), tvec=np.array([0, 0, 0.2]))
+    model = create_model("n", nc=2)
+    pipe = InspectionPipeline(
+        model_cfg=ModelConfig(variant="n", num_classes=2, image_size=64),
+        variables=init_variables(model, image_size=64),
+        frame_hw=(FH, FW),
+        calibration=calib,
+        model=model,
+    )
+    assert isinstance(pipe.remap_xy, TwoPassWarp)

@@ -18,6 +18,8 @@ sharing preprocessed frames) reuse one preprocess pass via ``DualPipeline``.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Any
 
@@ -110,8 +112,6 @@ class InspectionPipeline:
             # - space-to-depth stem (measured 2.7x faster standalone forward on
             #   v5e; the 3-channel full-res stem wastes 125/128 lanes),
             # - fused head-entry conv (3 small branch convs -> 1 per level).
-            import os
-
             from tti.model.convert import fuse_head_entries, stem_to_s2d
 
             # Head-entry fusion is exact but measured 2.5x SLOWER e2e on v5e
@@ -167,10 +167,28 @@ class InspectionPipeline:
                 small_map = build_small_undistort_map(
                     calibration.K, calibration.dist, self.spec, unpadded_src=True
                 )
-                self.remap_xy = PackedRemap(
-                    small_map, (self.spec.new_h, self.spec.new_w),
-                    interp=undistort_interp,
-                )
+                remap_kind = os.environ.get("TTI_REMAP", "twopass")
+                if remap_kind == "twopass" and undistort_interp == "bilinear":
+                    # MXU path: the warp as two separable banded matmuls
+                    # (tti/preprocess/warp2pass.py) — measured 3.4x faster
+                    # than the packed gather at batch 128 on v5e with sub-LSB
+                    # max deviation. TTI_REMAP=packed restores the gather.
+                    from tti.preprocess.warp2pass import TwoPassWarp
+
+                    try:
+                        self.remap_xy = TwoPassWarp(
+                            small_map, (self.spec.new_h, self.spec.new_w)
+                        )
+                    except ValueError:  # non-monotonic vertical map
+                        self.remap_xy = PackedRemap(
+                            small_map, (self.spec.new_h, self.spec.new_w),
+                            interp=undistort_interp,
+                        )
+                else:
+                    self.remap_xy = PackedRemap(
+                        small_map, (self.spec.new_h, self.spec.new_w),
+                        interp=undistort_interp,
+                    )
                 # Frames are rectified before the model, so every downstream
                 # pixel coordinate lives in IDEAL (pinhole) frame coordinates
                 # under the original K. The measurement geometry must therefore
@@ -188,11 +206,28 @@ class InspectionPipeline:
 
     # -- device step -------------------------------------------------------
 
-    def preprocess(self, frames_u8):
+    @property
+    def warp_weights(self):
+        """TwoPassWarp weight tensors, or None. Threaded through jitted steps
+        as ARGUMENTS — closing over them embeds ~460 MB of constants in the
+        serialized program (breaches remote-compile request limits)."""
+        from tti.preprocess.warp2pass import TwoPassWarp
+
+        return (self.remap_xy.weights
+                if isinstance(self.remap_xy, TwoPassWarp) else None)
+
+    def preprocess(self, frames_u8, warp_weights=None):
         """Traced: uint8 BGR frames -> model input (fused letterbox [+ remap]).
         Preprocess runs in the model's compute dtype: bf16 halves the resize's
         HBM traffic, and the packed remap re-quantizes to 8 bits regardless."""
+        from tti.preprocess.warp2pass import TwoPassWarp
+
         pre_dtype = jnp.bfloat16 if self.model_cfg.dtype == "bfloat16" else jnp.float32
+        if isinstance(self.remap_xy, TwoPassWarp):
+            from tti.preprocess.letterbox import letterbox_content
+
+            content = letterbox_content(frames_u8, self.spec, pre_dtype)
+            return self.remap_xy.apply(content, warp_weights)
         if self.remap_xy is not None:
             return letterbox_then_undistort(frames_u8, self.spec, self.remap_xy,
                                             dtype=pre_dtype)
@@ -215,8 +250,6 @@ class InspectionPipeline:
         # Lazy decode: rank anchors by raw logit, decode DFL only for the
         # top-k NMS candidates (exact — sigmoid is monotonic). Env-gated
         # pending a TPU A/B at the production batch size.
-        import os
-
         lazy_decode = os.environ.get("TTI_LAZY_DECODE") == "1"
 
         raw = self.model.apply(variables, x, train=False)
@@ -286,17 +319,24 @@ class InspectionPipeline:
         return outs
 
     def _build_step(self):
-        def step(variables, frames_u8):
-            return self.postprocess_chain(variables, self.preprocess(frames_u8))
+        warp_w = self.warp_weights
+
+        def step(variables, frames_u8, ww):
+            return self.postprocess_chain(variables, self.preprocess(frames_u8, ww))
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return jax.jit(
+            repl = NamedSharding(self.mesh, P())
+            jitted = jax.jit(
                 step,
-                in_shardings=(NamedSharding(self.mesh, P()), batch_sharding(self.mesh)),
+                in_shardings=(repl, batch_sharding(self.mesh), repl),
             )
-        return jax.jit(step)
+        else:
+            jitted = jax.jit(step)
+        # Keep the public (variables, frames) signature; the weights ride
+        # along as a real argument so they never bake into the program.
+        return lambda variables, frames_u8: jitted(variables, frames_u8, warp_w)
 
     # -- host API ------------------------------------------------------------
 
@@ -363,14 +403,17 @@ class DualPipeline:
         self._step = self._build()
 
     def _build(self):
-        def step(vars_a, vars_b, frames_u8):
-            x = self.primary.preprocess(frames_u8)
+        warp_w = self.primary.warp_weights
+
+        def step(vars_a, vars_b, frames_u8, ww):
+            x = self.primary.preprocess(frames_u8, ww)
             return (
                 self.primary.postprocess_chain(vars_a, x),
                 self.secondary.postprocess_chain(vars_b, x),
             )
 
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        return lambda va, vb, f: jitted(va, vb, f, warp_w)
 
     def process_batch(self, frames_bgr_u8: np.ndarray) -> tuple[PipelineOutputs, PipelineOutputs]:
         outs_a, outs_b = self._step(

@@ -336,6 +336,11 @@ def letterbox_then_undistort(
 
     from tti.preprocess.letterbox import decimation_stride, letterbox_content, letterbox_u8
 
+    from tti.preprocess.warp2pass import TwoPassWarp
+
+    if isinstance(small_remap, TwoPassWarp):
+        # MXU path: two separable banded matmuls over the unpadded content.
+        return small_remap(letterbox_content(frames_bgr_u8, spec, dtype))
     if isinstance(small_remap, PackedRemap):
         if small_remap.src_hw == (spec.new_h, spec.new_w):
             k = decimation_stride(spec)

@@ -1,0 +1,145 @@
+"""Undistort remap as two separable banded matmuls (MXU path).
+
+The packed-u32 gather remap (tti.preprocess.remap.PackedRemap) is bound by
+TPU gather throughput: ~10 ms of the 32 ms production step at batch 128 is
+4-tap gathers. TPUs move 100x more flops through the MXU than through gather
+units, so this module re-expresses the warp as the classic Catmull-Smith
+two-pass mesh decomposition:
+
+  pass 1 (horizontal): I1[y, xo]  = sum_w  src[y, w] * W1[y, w, xo]
+  pass 2 (vertical):   out[v, xo] = sum_y  I1[y, xo] * W2[xo, v, y]
+
+where W1 samples row y at sx*(xo, y) — the horizontal source map re-indexed
+through the per-column INVERSE of the vertical map — and W2 samples column xo
+at sy(xo, v). Each weight row holds one 2-tap bilinear kernel; the matrices
+are dense (MXU flops are cheap; the band structure is not worth a custom
+kernel at these sizes). Out-of-bounds taps get zero weight, and the input is
+shifted by the 114-gray pad value so zero-weight rows resolve to the border
+color — identical border semantics to remap_bilinear.
+
+Exactness: the DECOMPOSITION is exact for the sampling positions; the only
+deviation from single-pass bilinear is the interpolation kernel (the two
+1-D lerps sample sx* at the two neighboring integer rows instead of at sy
+itself). For the deployment calibration the measured difference is sub-LSB
+(see STATUS ledger / tests/test_warp2pass.py).
+
+Builder precondition: the vertical map must be strictly monotonic per column
+(true for any physical lens model); the builder asserts and callers fall back
+to the gather path if violated.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tti.preprocess.letterbox import PAD_VALUE
+
+Array = jax.Array
+
+_SENTINEL = -1e5  # matches build_undistort_letterbox_map's OOB marker scale
+
+
+class TwoPassWarp:
+    """Precompiled two-pass warp for one calibration + letterbox geometry."""
+
+    def __init__(
+        self,
+        map_xy: np.ndarray,  # (dst_h, dst_w, 2) source coords in content space
+        src_hw: tuple[int, int],
+        pad_value: float = PAD_VALUE / 255.0,
+        weight_dtype=None,
+    ) -> None:
+        if weight_dtype is None:
+            # bf16 weights (8 mantissa bits — the same fractional precision
+            # the packed-u32 gather path quantizes to) except on CPU, whose
+            # XLA runtime cannot execute bf16 dots.
+            weight_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                            else jnp.bfloat16)
+        self.src_hw = src_hw
+        self.pad_value = float(pad_value)
+        hs, ws = src_hw
+        dst_h, dst_w = map_xy.shape[:2]
+        self.dst_hw = (dst_h, dst_w)
+
+        mx = np.asarray(map_xy[..., 0], np.float64)
+        my = np.asarray(map_xy[..., 1], np.float64)
+        live_row = ~np.all((mx < _SENTINEL) | (my < _SENTINEL), axis=1)
+        live = np.nonzero(live_row)[0]
+        self.row_start = int(live.min()) if live.size else 0
+        self.row_stop = int(live.max()) + 1 if live.size else 0
+        mx = mx[self.row_start : self.row_stop]
+        my = my[self.row_start : self.row_stop]
+        ho, wo = mx.shape
+
+        col_live = ~np.all((mx < _SENTINEL) | (my < _SENTINEL), axis=0)
+        sent = (mx < _SENTINEL) | (my < _SENTINEL)
+
+        # Vertical monotonicity per live column (physical lens maps are).
+        dmy = np.diff(my, axis=0)
+        if np.any(dmy[:, col_live] <= 0):
+            raise ValueError("vertical map not strictly monotonic per column")
+
+        # sx*(xo, y): horizontal source position for INTERMEDIATE row y of
+        # column xo — the horizontal map evaluated at the output row that
+        # lands on source row y (per-column inverse of the vertical map).
+        ys = np.arange(hs, dtype=np.float64)
+        yo_grid = np.arange(ho, dtype=np.float64)
+        sxstar = np.zeros((hs, wo), np.float64)
+        for xo in range(wo):
+            if not col_live[xo]:
+                continue
+            yo_hat = np.interp(ys, my[:, xo], yo_grid)  # clamped outside range
+            sxstar[:, xo] = np.interp(yo_hat, yo_grid, mx[:, xo])
+
+        # W1: (hs, ws, wo) — row-y horizontal 2-tap kernels.
+        w1 = np.zeros((hs, ws, wo), np.float32)
+        x0 = np.floor(sxstar).astype(np.int64)
+        fx = (sxstar - x0).astype(np.float32)
+        rows = np.broadcast_to(ys.astype(np.int64)[:, None], (hs, wo))
+        cols = np.broadcast_to(np.arange(wo)[None, :], (hs, wo))
+        for tap, wgt in ((x0, 1.0 - fx), (x0 + 1, fx)):
+            ok = (tap >= 0) & (tap < ws) & col_live[None, :]
+            np.add.at(w1, (rows[ok], tap[ok], cols[ok]), wgt[ok])
+
+        # W2: (wo, ho, hs) — column-xo vertical 2-tap kernels; sentinel
+        # output pixels keep all-zero rows (-> pad).
+        w2 = np.zeros((wo, ho, hs), np.float32)
+        y0 = np.floor(my).astype(np.int64)
+        fy = (my - y0).astype(np.float32)
+        vrows = np.broadcast_to(yo_grid.astype(np.int64)[:, None], (ho, wo))
+        vcols = np.broadcast_to(np.arange(wo)[None, :], (ho, wo))
+        for tap, wgt in ((y0, 1.0 - fy), (y0 + 1, fy)):
+            ok = (tap >= 0) & (tap < hs) & ~sent
+            np.add.at(w2, (vcols[ok], vrows[ok], tap[ok]), wgt[ok])
+
+        self.w1 = jnp.asarray(w1, weight_dtype)
+        self.w2 = jnp.asarray(w2, weight_dtype)
+
+    @property
+    def weights(self) -> tuple[Array, Array]:
+        """Pass these as JIT ARGUMENTS, never close over them: captured
+        weight tensors serialize into the program as constants (hundreds of
+        MB of HLO — breaches remote-compile request limits)."""
+        return (self.w1, self.w2)
+
+    def apply(self, content: Array, weights: tuple[Array, Array] | None = None) -> Array:
+        """(B, hs, ws, C) content -> (B, dst_h, dst_w, C) warped + padded."""
+        w1, w2 = weights if weights is not None else (self.w1, self.w2)
+        dtype = content.dtype
+        pad = jnp.asarray(self.pad_value, jnp.float32)
+        x = content.astype(w1.dtype) - pad.astype(w1.dtype)
+        i1 = jnp.einsum("bywc,ywo->byoc", x, w1,
+                        preferred_element_type=jnp.float32)
+        out = jnp.einsum("byoc,ovy->bvoc", i1.astype(w2.dtype), w2,
+                         preferred_element_type=jnp.float32)
+        out = (out + pad).astype(dtype)
+        dst_h, _ = self.dst_hw
+        return jnp.pad(
+            out,
+            ((0, 0), (self.row_start, dst_h - self.row_stop), (0, 0), (0, 0)),
+            constant_values=jnp.asarray(self.pad_value, dtype),
+        )
+
+    __call__ = apply
