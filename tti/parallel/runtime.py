@@ -226,7 +226,8 @@ class InspectionPipeline:
         if isinstance(self.remap_xy, TwoPassWarp):
             from tti.preprocess.letterbox import letterbox_content
 
-            content = letterbox_content(frames_u8, self.spec, pre_dtype)
+            content = letterbox_content(frames_u8, self.spec, pre_dtype,
+                                        decimate=True)
             return self.remap_xy.apply(content, warp_weights)
         if self.remap_xy is not None:
             return letterbox_then_undistort(frames_u8, self.spec, self.remap_xy,
