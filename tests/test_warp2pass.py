@@ -99,3 +99,28 @@ def test_pipeline_selects_two_pass_by_default(rng=None):
         model=model,
     )
     assert isinstance(pipe.remap_xy, TwoPassWarp)
+
+
+def test_col_expand_exactly_matches_decimated_content():
+    """Folding the exact column decimation into pass 1 must be EXACT: the
+    expanded kernels sample the same decimated pixels from the row-sliced
+    full-width operand as the plain warp does from decimated content."""
+    # square 240px frame at imgsz 80 -> exact odd integer scale k=3
+    fh = fw = 240
+    spec = letterbox_spec(fh, fw, 80)
+    from tti.preprocess.letterbox import decimation_stride
+
+    k = decimation_stride(spec)
+    assert k == 3
+    m = build_small_undistort_map(K, DIST, spec, unpadded_src=True)
+    plain = TwoPassWarp(m, (spec.new_h, spec.new_w))
+    expanded = TwoPassWarp(m, (spec.new_h, spec.new_w),
+                           col_expand=(k, (k - 1) // 2, fw))
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, size=(2, fh, fw, 3), dtype=np.uint8)
+    off = (k - 1) // 2
+    content = frames[:, off::k, off::k, :][:, : spec.new_h, : spec.new_w]
+    rows = frames[:, off::k, :, :][:, : spec.new_h]
+    a = np.asarray(plain(jnp.asarray(content, jnp.float32) / 255.0))
+    b = np.asarray(expanded(jnp.asarray(rows, jnp.float32) / 255.0))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -170,14 +170,29 @@ class InspectionPipeline:
                 remap_kind = os.environ.get("TTI_REMAP", "twopass")
                 if remap_kind == "twopass" and undistort_interp == "bilinear":
                     # MXU path: the warp as two separable banded matmuls
-                    # (tti/preprocess/warp2pass.py) — measured 3.4x faster
-                    # than the packed gather at batch 128 on v5e with sub-LSB
-                    # max deviation. TTI_REMAP=packed restores the gather.
+                    # (tti/preprocess/warp2pass.py) — measured +19% e2e over
+                    # the packed gather at batch 128 on v5e with a tight
+                    # positional-error contract. TTI_REMAP=packed restores
+                    # the gather.
+                    from tti.preprocess.letterbox import decimation_stride
                     from tti.preprocess.warp2pass import TwoPassWarp
 
+                    col = None
+                    k = decimation_stride(self.spec)
+                    if k is not None and os.environ.get(
+                            "TTI_WARP_COLEXPAND") == "1":
+                        # Fold the exact column decimation into pass 1 so the
+                        # einsum consumes contiguous row-sliced frames.
+                        # Measured REJECTED at batch 128 on v5e: 4745 vs 5041
+                        # frames/s — the 3x pass-1 weight traffic (885 MB
+                        # bf16/step) costs more than the stride-k u8 slice it
+                        # removes (XLA already fuses that slice into the
+                        # einsum operand load). Opt-in for other hardware.
+                        col = (k, (k - 1) // 2, frame_hw[1])
                     try:
                         self.remap_xy = TwoPassWarp(
-                            small_map, (self.spec.new_h, self.spec.new_w)
+                            small_map, (self.spec.new_h, self.spec.new_w),
+                            col_expand=col,
                         )
                     except ValueError:  # non-monotonic vertical map
                         self.remap_xy = PackedRemap(
@@ -224,10 +239,18 @@ class InspectionPipeline:
 
         pre_dtype = jnp.bfloat16 if self.model_cfg.dtype == "bfloat16" else jnp.float32
         if isinstance(self.remap_xy, TwoPassWarp):
-            from tti.preprocess.letterbox import letterbox_content
+            from tti.preprocess.letterbox import (
+                bgr_to_rgb, letterbox_content, normalize,
+            )
 
-            content = letterbox_content(frames_u8, self.spec, pre_dtype,
-                                        decimate=True)
+            if self.remap_xy.col_expand is not None:
+                # Rows by contiguous strided slice; columns inside pass 1.
+                k, off, _ = self.remap_xy.col_expand
+                rows = frames_u8[:, off::k, :, :][:, : self.spec.new_h]
+                content = normalize(bgr_to_rgb(rows), pre_dtype)
+            else:
+                content = letterbox_content(frames_u8, self.spec, pre_dtype,
+                                            decimate=True)
             return self.remap_xy.apply(content, warp_weights)
         if self.remap_xy is not None:
             return letterbox_then_undistort(frames_u8, self.spec, self.remap_xy,

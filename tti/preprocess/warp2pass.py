@@ -50,7 +50,14 @@ class TwoPassWarp:
         src_hw: tuple[int, int],
         pad_value: float = PAD_VALUE / 255.0,
         weight_dtype=None,
+        col_expand: tuple[int, int, int] | None = None,  # (k, off, full_w)
     ) -> None:
+        """col_expand=(k, off, full_w): fold the letterbox's exact integer
+        COLUMN decimation (full col = off + k*content_col) into pass 1 by
+        scattering its kernels onto the full-resolution column grid — the
+        einsum then consumes ROW-SLICED full-width frames (contiguous DMA)
+        and the stride-k column access disappears entirely. Exactly
+        equivalent: the expanded kernels sample the same decimated pixels."""
         if weight_dtype is None:
             # bf16 weights (8 mantissa bits — the same fractional precision
             # the packed-u32 gather path quantizes to) except on CPU, whose
@@ -114,6 +121,12 @@ class TwoPassWarp:
             ok = (tap >= 0) & (tap < hs) & ~sent
             np.add.at(w2, (vcols[ok], vrows[ok], tap[ok]), wgt[ok])
 
+        self.col_expand = col_expand
+        if col_expand is not None:
+            k, off, full_w = col_expand
+            w1_full = np.zeros((hs, full_w, wo), np.float32)
+            w1_full[:, off : off + k * ws : k, :] = w1
+            w1 = w1_full
         self.w1 = jnp.asarray(w1, weight_dtype)
         self.w2 = jnp.asarray(w2, weight_dtype)
 
