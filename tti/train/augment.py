@@ -233,25 +233,34 @@ def _augment_one(
     sel_tile = order // g_src
     sel_slot = order % g_src
 
-    # --- masks: nearest re-gather through the same mapping, at proto res ---
-    ym = jax.lax.broadcasted_iota(jnp.float32, (sm, sm), 0)
-    xm = jax.lax.broadcasted_iota(jnp.float32, (sm, sm), 1)
-    xo_m = (xm + 0.5) * 4.0 - 0.5  # proto px -> model-input px
-    yo_m = (ym + 0.5) * 4.0 - 0.5
-    xo_m = jnp.where(flip, s_px - 1 - xo_m, xo_m)
-    xc_m, yc_m = out_to_canvas(xo_m, yo_m)
-
+    # --- masks: the same axis-aligned resample at proto res, again as
+    # scale_and_translate (a nearest per-pixel gather here measured ~340 ms
+    # of a 401 ms batch-64 augment step — the masks dominated). The proto-
+    # grid mapping is xl = (xm+0.5)/sc + C with the C below (derivation in
+    # git history); jax S&T samples in = (out+0.5-T)/scale - 0.5, so
+    # T = -sc*(C+0.5). Linear interp + 0.5 threshold on binary masks is
+    # nearest-equivalent away from exact ties.
     def one_mask(tile: Array, slot: Array, ok: Array) -> Array:
-        src = data.masks[idx[tile], slot]  # (Sm, Sm) u8
-        xl = (xc_m - tile_off[tile, 0]) / 4.0  # canvas px -> tile proto px
-        yl = (yc_m - tile_off[tile, 1]) / 4.0
-        xi = jnp.round(xl).astype(jnp.int32)
-        yi = jnp.round(yl).astype(jnp.int32)
-        inb = (xi >= 0) & (xi < sm) & (yi >= 0) & (yi < sm)
-        vals = src[jnp.clip(yi, 0, sm - 1), jnp.clip(xi, 0, sm - 1)]
-        return jnp.where(ok & inb, vals, 0).astype(jnp.float32)
+        src = data.masks[idx[tile], slot].astype(jnp.float32)  # (Sm, Sm)
+        # proto pixel p centers at model px 4p+1.5 on BOTH grids; the -2.0
+        # folds the two half-pixel conventions (verified exact at identity).
+        c_x = ((x0 - tile_off[tile, 0] - 2.0) / 4.0
+               - (0.5 + tx) * s_px / (4.0 * sc) + s_px / 8.0)
+        c_y = ((y0 - tile_off[tile, 1] - 2.0) / 4.0
+               - (0.5 + ty) * s_px / (4.0 * sc) + s_px / 8.0)
+        m = jax.image.scale_and_translate(
+            src[..., None], (sm, sm, 1), (0, 1),
+            scale=jnp.stack([sc, sc]),
+            translation=jnp.stack([-sc * (c_y + 0.5), -sc * (c_x + 0.5)]),
+            method="linear", antialias=False,
+        )[..., 0]
+        m = (m > 0.5).astype(jnp.float32)
+        return jnp.where(ok, m, 0.0)
 
     sel_masks = jax.vmap(one_mask)(sel_tile, sel_slot, sel_valid)
+    # Output-array flip == flipping the sample positions: index xm then holds
+    # the sample at model px s_px - 4*xm - 2.5, identical to the pre-flip map.
+    sel_masks = jnp.where(flip, sel_masks[:, :, ::-1], sel_masks)
 
     return img, {
         "boxes": sel_boxes,
