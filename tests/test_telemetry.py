@@ -91,6 +91,10 @@ def test_budget_overflow_flags_and_orchestrator_logging(caplog):
         masks=None, measurements=None,
         telemetry={
             "n_candidates": np.array([300], np.int32),
+            # 200 POST-NMS survivors = the max_det cap saturated. (A high
+            # pre-NMS candidate count alone must NOT flag max_detections —
+            # suppressed candidates are not drops.)
+            "n_valid": np.array([200], np.int32),
             "n_roi_valid": np.array([9], np.int32),
             "n_stitches_raw": np.array([7], np.int32),
         },
@@ -100,6 +104,17 @@ def test_budget_overflow_flags_and_orchestrator_logging(caplog):
     assert bool(flags["max_detections"][0])
     assert bool(flags["max_stats_dets"][0])
     assert bool(flags["max_stitches"][0])
+
+    busy = PipelineOutputs(
+        boxes_frame=np.zeros((1, 4, 4)), scores=np.zeros((1, 4)),
+        classes=np.zeros((1, 4)), valid=np.zeros((1, 4), bool),
+        masks=None, measurements=None,
+        telemetry={"n_candidates": np.array([300], np.int32),
+                   "n_valid": np.array([40], np.int32)},
+    )
+    # busy frame, NMS reduced 300 candidates to 40: nothing was dropped at
+    # the max_det stage -> no false operator warning.
+    assert not busy.budget_overflows(mcfg, cfg)["max_detections"][0]
 
     under = PipelineOutputs(
         boxes_frame=np.zeros((1, 4, 4)), scores=np.zeros((1, 4)),

@@ -29,24 +29,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 import numpy as np
 
 
-def textured_frame(h: int, w: int, seed: int) -> np.ndarray:
-    """Piecewise-smooth synthetic frame (see tests/test_predict_parity.py)."""
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = (
-        110 + 70 * np.sin(xx / 17.0 + rng.uniform(0, 6)) * np.cos(yy / 23.0)
-        + 40 * np.sin((xx + 2 * yy) / 41.0)
-    )
-    frame = np.stack([base, np.roll(base, 5, 1), np.roll(base, 9, 0)], -1)
-    frame += rng.normal(0, 6, size=frame.shape)
-    return np.clip(frame, 0, 255).astype(np.uint8)
-
-
-def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
-    a = a > 0.5
-    b = b > 0.5
-    union = np.logical_or(a, b).sum()
-    return 1.0 if union == 0 else float(np.logical_and(a, b).sum() / union)
+# The SAME frame generator and IoU the test suite gates on — imported, not
+# duplicated, so the report can never silently desynchronize from the tests.
+from test_predict_parity import _mask_iou_np as mask_iou  # noqa: E402
+from test_predict_parity import _textured_frame as textured_frame  # noqa: E402
 
 
 def main() -> None:

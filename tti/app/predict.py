@@ -33,7 +33,6 @@ from tti.postprocess.nms import batched_nms
 from tti.preprocess.letterbox import (
     LetterboxSpec,
     make_letterbox_spec,
-    preprocess_frames,
     scale_boxes_to_frame,
 )
 
@@ -106,7 +105,12 @@ class Predictor:
         pre_dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
 
         def step(variables, frames_u8):
-            x, _ = preprocess_frames(frames_u8, (spec.dst_h, spec.dst_w), dtype=pre_dtype)
+            # letterbox_u8 with the precomputed spec: re-deriving geometry
+            # from (dst_h, dst_w) can disagree with a rect spec by 1px on
+            # the non-binding axis (scale_boxes_to_frame inverts spec.scale).
+            from tti.preprocess.letterbox import letterbox_u8
+
+            x = letterbox_u8(frames_u8, spec, pre_dtype)
             raw = self.model.apply(variables, x, train=False)
             boxes, probs, coefs = decode_predictions(raw)
             dets = batched_nms(

@@ -165,13 +165,7 @@ def _run_multistream(args, cfg) -> int:
         if not runner.wait_for_frames():
             log.error("streams produced no frames")
             return 1
-        while args.max_frames is None or batches < args.max_frames:
-            # Pipelined: ring snapshot + H2D of THIS batch overlap the device
-            # compute of the previous one (tti/parallel/streams.py).
-            stepped = runner.step_pipelined()
-            if stepped is None:
-                continue  # first call primes the double buffer
-            outs, results = stepped
+        def report(outs, results) -> None:
             if results:
                 for stream, meas in enumerate(results):
                     d = measurement_to_dict(meas)
@@ -187,12 +181,25 @@ def _run_multistream(args, cfg) -> int:
                         "stream %d: %d detections", stream,
                         int(outs.valid[stream].sum()),
                     )
+
+        while args.max_frames is None or batches < args.max_frames:
+            # Pipelined: ring snapshot + H2D of THIS batch overlap the device
+            # compute of the previous one (tti/parallel/streams.py).
+            stepped = runner.step_pipelined()
+            if stepped is None:
+                continue  # first call primes the double buffer
+            report(*stepped)
             batches += 1
             time.sleep(cfg.runtime.inference_interval_s)
     except KeyboardInterrupt:
         pass
     finally:
-        runner.flush()  # drain the in-flight pipelined batch
+        # Drain the in-flight pipelined batch; its measurements advanced the
+        # smoothing state, so report them too rather than dropping them.
+        drained = runner.flush()
+        if drained is not None:
+            report(*drained)
+            batches += 1
         runner.stop()
         log.info("multistream shutdown: %d batches x %d streams", batches, len(sources))
     return 0
@@ -345,10 +352,15 @@ def cmd_eval(args) -> int:
     from tti.train.data import discover_dataset, rasterize_polygon, sample_to_targets
     from tti.train.eval import ImageEval, evaluate
 
+    if args.imgsz % 32:
+        # The rect letterbox rounds a non-stride target UP (960->960, 100->128)
+        # while GT rasterizes at args.imgsz — the mask grids would mismatch.
+        raise SystemExit(f"--imgsz must be a multiple of 32, got {args.imgsz}")
     cfg = load_config(validate=False)
     model_cfg = dataclasses.replace(cfg.model, image_size=args.imgsz,
                                     # eval images are square-resized (no pad),
-                                    # so square/rect letterbox coincide
+                                    # so square/rect letterbox coincide at
+                                    # stride-multiple imgsz
                                     **({"weights": args.weights} if args.weights else {}))
     cfg = cfg.replace(model=model_cfg)
     samples = discover_dataset(args.images)
@@ -386,7 +398,10 @@ def cmd_eval(args) -> int:
             pred_masks=res.masks_proto[0][:m],
             gt_masks=np.asarray(t["masks"][t["valid"]]),
         ))
-        polys = sample.polygons[: int(t["valid"].sum())]  # match the GT cap
+        # Index the RAW polygon list through src_index: scene_to_targets
+        # drops degenerate slivers, so positional slicing would rasterize the
+        # wrong instance for every GT after a dropped one.
+        polys = [sample.polygons[i] for i in t["src_index"][t["valid"]]]
         gt_full = (np.stack([rasterize_polygon(p, (args.imgsz, args.imgsz))
                              for p in polys])
                    if polys else np.zeros((0, args.imgsz, args.imgsz), np.float32))

@@ -39,7 +39,7 @@ from tti.model.yolo import YOLOv8Seg, create_model
 from tti.parallel.mesh import batch_sharding
 from tti.postprocess.decode import Detections, decode_predictions
 from tti.postprocess.nms import batched_nms
-from tti.preprocess.letterbox import LetterboxSpec, make_letterbox_spec, preprocess_frames
+from tti.preprocess.letterbox import LetterboxSpec, make_letterbox_spec
 from tti.preprocess.remap import PackedRemap, build_small_undistort_map, letterbox_then_undistort
 
 Array = jax.Array
@@ -71,8 +71,12 @@ class PipelineOutputs:
         if not self.telemetry:
             return {}
         t = self.telemetry
-        out = {"nms_pre_topk": t["n_candidates"] > model_cfg.nms_pre_topk,
-               "max_detections": t["n_candidates"] > model_cfg.max_detections}
+        out = {"nms_pre_topk": t["n_candidates"] > model_cfg.nms_pre_topk}
+        if "n_valid" in t:
+            # Saturated output = the NMS max_det cap truncated survivors.
+            # (n_candidates is PRE-NMS and would false-positive on every
+            # busy frame — suppressed candidates are not drops.)
+            out["max_detections"] = t["n_valid"] >= model_cfg.max_detections
         if measure_cfg is not None and "n_roi_valid" in t:
             out["max_stats_dets"] = t["n_roi_valid"] > measure_cfg.max_stats_dets
             out["max_stitches"] = t["n_stitches_raw"] > measure_cfg.max_stitches
@@ -255,9 +259,12 @@ class InspectionPipeline:
         if self.remap_xy is not None:
             return letterbox_then_undistort(frames_u8, self.spec, self.remap_xy,
                                             dtype=pre_dtype)
-        x, _ = preprocess_frames(frames_u8, (self.spec.dst_h, self.spec.dst_w),
-                                 dtype=pre_dtype)
-        return x
+        # letterbox_u8 with the ALREADY-COMPUTED spec — re-deriving geometry
+        # from (dst_h, dst_w) can disagree with a rect spec by 1px on the
+        # non-binding axis while scale_boxes_to_frame inverts spec.scale.
+        from tti.preprocess.letterbox import letterbox_u8
+
+        return letterbox_u8(frames_u8, self.spec, pre_dtype)
 
     def postprocess_chain(self, variables, x) -> dict:
         """Traced: preprocessed input -> the full per-model chain (forward,
@@ -307,7 +314,12 @@ class InspectionPipeline:
         # Budget telemetry (VERDICT r1 item 5): the static NMS/stats caps
         # are exact only under-budget; expose the true in-graph counts so
         # over-budget frames are visible in logs, never silently truncated.
-        telemetry = {"n_candidates": n_candidates}
+        telemetry = {
+            "n_candidates": n_candidates,
+            # Post-NMS survivor count: max_det overflow means THIS hit the
+            # cap (candidates above conf that NMS suppresses are not drops).
+            "n_valid": jnp.sum(dets.valid, axis=-1).astype(jnp.int32),
+        }
 
         if measure_enabled:
             def per_frame(d: Detections, protos):
@@ -422,6 +434,21 @@ class DualPipeline:
                 "dual pipelines must agree on undistortion (both rectified or "
                 "both raw) — the preprocessed batch is shared"
             )
+        from tti.preprocess.warp2pass import TwoPassWarp
+
+        if (isinstance(primary.remap_xy, TwoPassWarp)
+                and isinstance(secondary.remap_xy, TwoPassWarp)
+                and primary.calibration is not None
+                and secondary.calibration is not None
+                and np.array_equal(primary.calibration.K, secondary.calibration.K)
+                and np.array_equal(primary.calibration.dist,
+                                   secondary.calibration.dist)):
+            # Same lens + geometry -> identical warp weights; the secondary's
+            # copy would be dead HBM (only the primary's preprocess runs in
+            # the dual step). Rebuild its standalone step so the old closure
+            # releases the duplicate device tensors.
+            secondary.remap_xy = primary.remap_xy
+            secondary._step = secondary._build_step()
         self.primary = primary
         self.secondary = secondary
         self._step = self._build()

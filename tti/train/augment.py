@@ -151,6 +151,13 @@ def _augment_one(
     idx = jnp.where(use_mosaic, idx, jnp.broadcast_to(idx[0], (4,)))
 
     tiles = data.images[idx]  # (4, S, S, 3) u8
+    # Non-mosaic: blank tiles 1-3 to border gray. A zoom-out (sc < 1) samples
+    # the canvas beyond tile 0; leaving image copies there would train on
+    # visible objects whose GT is masked out below (Ultralytics shows gray
+    # border in its non-mosaic affine too).
+    tile_is_zero = (jnp.arange(4) == 0)[:, None, None, None]
+    tiles = jnp.where(use_mosaic | tile_is_zero, tiles,
+                      jnp.asarray(114, jnp.uint8))
     canvas = jnp.concatenate(
         [jnp.concatenate([tiles[0], tiles[1]], axis=1),
          jnp.concatenate([tiles[2], tiles[3]], axis=1)],

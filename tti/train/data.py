@@ -149,8 +149,13 @@ def scene_to_targets(
     out_classes = np.zeros((max_gt,), np.int32)
     masks = np.zeros((max_gt, hm, wm), np.float32)
     valid = np.zeros((max_gt,), bool)
+    # Which INPUT polygon each kept slot came from: degenerate GT is skipped,
+    # so consumers re-deriving per-instance data from the raw polygon list
+    # (e.g. full-res mask rasterization in `tti eval`) must index by this,
+    # not by position.
+    src_index = np.full((max_gt,), -1, np.int32)
     n_kept = 0
-    for poly, cls in zip(polygons, classes):
+    for src_i, (poly, cls) in enumerate(zip(polygons, classes)):
         if n_kept >= max_gt:
             log.debug("scene: dropping GT beyond max_gt=%d", max_gt)
             break
@@ -166,8 +171,10 @@ def scene_to_targets(
         out_classes[n_kept] = cls
         masks[n_kept] = rasterize_polygon(p, (hm, wm))
         valid[n_kept] = True
+        src_index[n_kept] = src_i
         n_kept += 1
-    return image, {"boxes": boxes, "classes": out_classes, "masks": masks, "valid": valid}
+    return image, {"boxes": boxes, "classes": out_classes, "masks": masks,
+                   "valid": valid, "src_index": src_index}
 
 
 def sample_to_targets(
