@@ -153,8 +153,10 @@ def main() -> None:
             sync_fps = 4 * n_steps / (time.perf_counter() - t0)
             # Host-fed ASYNC path: ring snapshot + H2D of batch N overlap
             # device compute of batch N-1 (VERDICT r1 item 3).
-            runner.step_pipelined()  # prime the double buffer
+            # Time the priming dispatch too — its device compute must fall
+            # inside the window for the frame count to be honest.
             t0 = time.perf_counter()
+            runner.step_pipelined()  # prime the double buffer
             for _ in range(n_steps):
                 runner.step_pipelined()
             runner.flush()

@@ -182,14 +182,18 @@ def _run_multistream(args, cfg) -> int:
                         int(outs.valid[stream].sum()),
                     )
 
-        while args.max_frames is None or batches < args.max_frames:
+        # Count DISPATCHES against --max-frames (each step_pipelined() puts one
+        # batch in flight; the final one is reported by flush()), so exactly
+        # max_frames batches are processed — not max_frames+1.
+        dispatched = 0
+        while args.max_frames is None or dispatched < args.max_frames:
             # Pipelined: ring snapshot + H2D of THIS batch overlap the device
             # compute of the previous one (tti/parallel/streams.py).
             stepped = runner.step_pipelined()
-            if stepped is None:
-                continue  # first call primes the double buffer
-            report(*stepped)
-            batches += 1
+            dispatched += 1
+            if stepped is not None:
+                report(*stepped)
+                batches += 1
             time.sleep(cfg.runtime.inference_interval_s)
     except KeyboardInterrupt:
         pass

@@ -172,7 +172,7 @@ def prepare_frame_inputs(
     roi_bounds: tuple[float, float, float, float] | None,
     max_stitches: int,
     max_stats_dets: int = 64,
-) -> tuple[StitchSet, Array, Array]:
+) -> tuple[StitchSet, Array, Array, dict]:
     """Single-frame glue: split classes, gate by ROI, build stitch statistics
     and the fabric envelope. All shapes static.
 

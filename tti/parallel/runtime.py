@@ -434,15 +434,24 @@ class DualPipeline:
                 "dual pipelines must agree on undistortion (both rectified or "
                 "both raw) — the preprocessed batch is shared"
             )
-        from tti.preprocess.warp2pass import TwoPassWarp
-
-        if (isinstance(primary.remap_xy, TwoPassWarp)
-                and isinstance(secondary.remap_xy, TwoPassWarp)
-                and primary.calibration is not None
+        if primary.remap_xy is not None and not (
+                primary.calibration is not None
                 and secondary.calibration is not None
                 and np.array_equal(primary.calibration.K, secondary.calibration.K)
                 and np.array_equal(primary.calibration.dist,
                                    secondary.calibration.dist)):
+            # Both rectified but with DIFFERENT lens models: the shared buffer
+            # is warped with the PRIMARY's calibration, so the secondary's
+            # measurement chain (its own cam geometry) would silently produce
+            # wrong millimetres. Misconfiguration — refuse.
+            raise ValueError(
+                "dual rectified pipelines must share one calibration (K/dist) — "
+                "the undistorted batch is produced with the primary's warp"
+            )
+        from tti.preprocess.warp2pass import TwoPassWarp
+
+        if (isinstance(primary.remap_xy, TwoPassWarp)
+                and isinstance(secondary.remap_xy, TwoPassWarp)):
             # Same lens + geometry -> identical warp weights; the secondary's
             # copy would be dead HBM (only the primary's preprocess runs in
             # the dual step). Rebuild its standalone step so the old closure

@@ -339,8 +339,19 @@ def letterbox_then_undistort(
     from tti.preprocess.warp2pass import TwoPassWarp
 
     if isinstance(small_remap, TwoPassWarp):
-        # MXU path: two separable banded matmuls over the unpadded content.
-        return small_remap(letterbox_content(frames_bgr_u8, spec, dtype))
+        # MXU path: two separable banded matmuls over the unpadded content —
+        # same input construction as InspectionPipeline.preprocess so both
+        # entry points feed the warp identically. A column-expanded warp
+        # (col_expand) consumes row-sliced FULL-WIDTH frames (pass 1 performs
+        # the column resample); otherwise decimated letterbox content.
+        if small_remap.col_expand is not None:
+            from tti.preprocess.letterbox import bgr_to_rgb, normalize
+
+            k, off, _ = small_remap.col_expand
+            rows = frames_bgr_u8[:, off::k, :, :][:, : spec.new_h]
+            return small_remap(normalize(bgr_to_rgb(rows), dtype))
+        return small_remap(letterbox_content(frames_bgr_u8, spec, dtype,
+                                             decimate=True))
     if isinstance(small_remap, PackedRemap):
         if small_remap.src_hw == (spec.new_h, spec.new_w):
             k = decimation_stride(spec)
