@@ -94,3 +94,68 @@ def test_load_checkpoint_from_orbax_train_dir(tmp_path):
         bad = init_variables(create_model("s", nc=2), image_size=64)
         with pytest.raises(ValueError):
             load_checkpoint(path, bad)
+
+
+def test_to_torch_state_dict_roundtrip():
+    """torch -> flax -> torch must reproduce every tensor exactly and load
+    under strict=True (the inverse converter is what lets tti-trained weights
+    run through the torch parity oracle)."""
+    from tti.model.convert import to_torch_state_dict
+
+    tmodel = TorchYOLOv8Seg(variant="n", nc=2)
+    original = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    variables = convert_torch_state_dict(tmodel.state_dict())
+    sd = to_torch_state_dict(variables)
+
+    assert set(sd) == set(original)
+    for key in original:
+        np.testing.assert_array_equal(sd[key], original[key], err_msg=key)
+
+    fresh = TorchYOLOv8Seg(variant="n", nc=2)
+    fresh.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}, strict=True)
+
+
+def test_to_torch_state_dict_flax_native_forward_parity():
+    """Export FLAX-initialized (i.e. trained-in-tti-shaped) variables to torch
+    and check the two forward passes agree — the direction the trained-weights
+    parity report depends on."""
+    import jax
+
+    from tti.model.convert import to_torch_state_dict
+
+    model = YOLOv8Seg(variant="n", nc=2)
+    variables = init_variables(model, image_size=64, seed=3)
+    # Non-trivial running stats so BN eval-mode is a real test.
+    bs = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    rng = np.random.default_rng(0)
+    bs = jax.tree_util.tree_map(
+        lambda x: (x + rng.uniform(-0.3, 0.3, x.shape)).astype(np.float32), bs
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    sd = to_torch_state_dict(variables)
+    tmodel = TorchYOLOv8Seg(variant="n", nc=2)
+    tmodel.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in sd.items()}, strict=True)
+    tmodel.eval()
+
+    x = np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    raw = model.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        t_box, t_cls, t_coef, t_protos = tmodel(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        )
+    for fl, tt in zip(list(raw.box) + list(raw.cls) + list(raw.mcoef) + [raw.protos],
+                      list(t_box) + list(t_cls) + list(t_coef) + [t_protos]):
+        np.testing.assert_allclose(
+            np.asarray(fl), tt.numpy().transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_to_torch_state_dict_rejects_folded():
+    from tti.model.convert import fold_batchnorm, to_torch_state_dict
+
+    variables = init_variables(YOLOv8Seg(variant="n", nc=2), image_size=64)
+    with pytest.raises(ValueError, match="folded|batch_stats"):
+        to_torch_state_dict(fold_batchnorm(variables))

@@ -131,6 +131,87 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any]) -> dict[str, Tree]:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def to_torch_state_dict(variables: Tree, reg_max: int = 16) -> dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict: flax variables -> Ultralytics-format
+    torch state dict (numpy float32 values; wrap each in torch.from_numpy to
+    load). This lets tti-TRAINED checkpoints run through the torch/Ultralytics
+    oracle, so predict-chain parity is measured with production weights rather
+    than argued from untrained seeded networks.
+
+    Emits the fixed DFL arange projection (``model.22.dfl.conv.weight``) and
+    zero ``num_batches_tracked`` entries so ``load_state_dict(strict=True)``
+    passes. Requires UNFOLDED variables (params + batch_stats): fold_batchnorm
+    output has no running statistics to export."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    out: dict[str, np.ndarray] = {}
+
+    _head = re.compile(r"^cv[234]_\d+_\d+$")
+    _inner = re.compile(r"^m\d+$")
+
+    def torch_prefix(path: list[str]) -> str:
+        parts: list[str] = []
+        for depth, key in enumerate(path):
+            if depth == 0:
+                if not _inner.fullmatch(key):
+                    raise ValueError(
+                        f"cannot export transformed module {key!r} — export the "
+                        "raw (pre-s2d/pre-head-fusion) checkpoint")
+                parts += ["model", key[1:]]  # "m22" -> "model.22"
+            elif _head.fullmatch(key):
+                branch, level, block = key.split("_")
+                parts += [branch, level, block]  # cv2_0_1 -> cv2.0.1
+            elif _inner.fullmatch(key):
+                parts += ["m", key[1:]]  # C2f bottleneck list: m0 -> m.0
+            else:
+                parts.append(key)  # cv1/cv2/cv3/proto/upsample/conv/bn
+        return ".".join(parts)
+
+    def emit(path: list[str], pnode: Tree, snode) -> None:
+        prefix = torch_prefix(path)
+        if "kernel" in pnode:  # plain conv (head exit 1x1s) or the proto deconv
+            k = np.asarray(pnode["kernel"], np.float32)
+            if path[-1] == "upsample":
+                # Invert the deconv import transform (see _convert_leaf):
+                # flax (kH, kW, I, O) -> spatial flip -> torch (I, O, kH, kW).
+                out[prefix + ".weight"] = k.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1].copy()
+            else:
+                out[prefix + ".weight"] = k.transpose(3, 2, 0, 1).copy()
+            if "bias" in pnode:
+                out[prefix + ".bias"] = np.asarray(pnode["bias"], np.float32)
+            return
+        if "conv" in pnode and "bn" not in pnode and "kernel" in pnode["conv"]:
+            raise ValueError(
+                f"{prefix}: BN-folded variables cannot be exported — pass the "
+                "unfolded checkpoint (torch needs running statistics)")
+        if "conv" in pnode and "bn" in pnode:
+            out[prefix + ".conv.weight"] = (
+                np.asarray(pnode["conv"]["kernel"], np.float32).transpose(3, 2, 0, 1).copy()
+            )
+            out[prefix + ".bn.weight"] = np.asarray(pnode["bn"]["scale"], np.float32)
+            out[prefix + ".bn.bias"] = np.asarray(pnode["bn"]["bias"], np.float32)
+            sbn = (snode or {}).get("bn")
+            if sbn is None:
+                raise ValueError(f"{prefix}: missing batch_stats for BN export")
+            out[prefix + ".bn.running_mean"] = np.asarray(sbn["mean"], np.float32)
+            out[prefix + ".bn.running_var"] = np.asarray(sbn["var"], np.float32)
+            out[prefix + ".bn.num_batches_tracked"] = np.zeros((), np.int64)
+            return
+        for key, child in pnode.items():
+            if isinstance(child, dict):
+                emit(path + [key],
+                     child,
+                     snode.get(key, {}) if isinstance(snode, dict) else {})
+
+    for module, pnode in params.items():
+        emit([module], pnode, batch_stats.get(module, {}))
+
+    out["model.22.dfl.conv.weight"] = (
+        np.arange(reg_max, dtype=np.float32).reshape(1, reg_max, 1, 1)
+    )
+    return out
+
+
 def verify_tree_shapes(converted: Tree, reference: Tree, path: str = "") -> list[str]:
     """Compare converted tree against a model-initialized tree; returns a list of
     mismatch descriptions (empty = structurally identical)."""
