@@ -110,6 +110,40 @@ def test_pipeline_sharded_over_mesh(rng):
     assert np.asarray(outs.measurements.n_stitches).shape == (8,)
 
 
+def test_sharded_outputs_equal_single_device(rng):
+    """A silent sharding bug (e.g. a collective over the wrong axis) must FAIL
+    a test, not pass a shape check: mesh-sharded outputs are compared
+    field-by-field against the single-device pipeline on identical frames."""
+    assert jax.device_count() == 8
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      max_detections=8)
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=IMGSZ)
+    kwargs = dict(model_cfg=cfg, variables=variables, frame_hw=FRAME_HW,
+                  calibration=_calib(), model=model, return_masks=True,
+                  measure_cfg=MeasureConfig(max_stitches=8))
+    sharded = InspectionPipeline(mesh=create_mesh(), **kwargs)
+    single = InspectionPipeline(**kwargs)
+    frames = rng.integers(0, 255, size=(8, *FRAME_HW, 3), dtype=np.uint8)
+    outs_s = sharded.process_batch(frames)
+    outs_u = single.process_batch(frames)
+
+    np.testing.assert_array_equal(outs_s.valid, outs_u.valid)
+    np.testing.assert_array_equal(outs_s.classes, outs_u.classes)
+    np.testing.assert_allclose(outs_s.scores, outs_u.scores, atol=1e-5)
+    np.testing.assert_allclose(outs_s.boxes_frame, outs_u.boxes_frame, atol=1e-3)
+    np.testing.assert_allclose(outs_s.masks, outs_u.masks, atol=1e-4)
+    assert (outs_s.measurements is None) == (outs_u.measurements is None)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, equal_nan=True),
+        outs_s.measurements, outs_u.measurements,
+    )
+    assert set(outs_s.telemetry) == set(outs_u.telemetry)
+    for key in outs_s.telemetry:
+        np.testing.assert_array_equal(outs_s.telemetry[key], outs_u.telemetry[key])
+
+
 def test_rect_letterbox_pipeline_end_to_end(rng):
     """The default rect letterbox on a geometry where it is genuinely
     non-square (48x96 frames at imgsz 96 -> 64x96 model input): full

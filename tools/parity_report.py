@@ -48,6 +48,12 @@ def main() -> None:
     # chain. Size the candidate budget to the scene.
     ap.add_argument("--pre-topk", type=int, default=4096)
     ap.add_argument("--max-det", type=int, default=200)
+    ap.add_argument("--weights", default=None,
+                    help="tti checkpoint (msgpack or orbax train dir): measure "
+                    "parity with TRAINED production weights — the checkpoint is "
+                    "exported through tti.model.convert.to_torch_state_dict into "
+                    "the torch oracle, and frames are synthetic textile scenes "
+                    "(a trained detector does not fire on random texture)")
     args = ap.parse_args()
 
     import jax
@@ -70,8 +76,37 @@ def main() -> None:
     except ImportError:
         real_ultra = False
 
-    tmodel = make_detecting_model("n", nc=2, seed=args.seed)
-    variables = convert_torch_state_dict(tmodel.state_dict())
+    if args.weights:
+        import torch
+
+        from torch_ref import TorchYOLOv8Seg
+        from tools.synth_textile import make_scene
+        from tti.model.convert import load_checkpoint, to_torch_state_dict
+        from tti.model.yolo import init_variables
+
+        template = init_variables(create_model("n", nc=2), image_size=64)
+        variables = load_checkpoint(args.weights, template)
+        tmodel = TorchYOLOv8Seg("n", nc=2)
+        tmodel.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in to_torch_state_dict(variables).items()},
+            strict=True,
+        )
+        tmodel.eval()
+
+        def make_frame(h: int, w: int, seed: int) -> np.ndarray:
+            # Deployment-shaped content: a textile scene rendered at the frame's
+            # long side, centre-cropped to (h, w) — the fabric band (y in
+            # 0.35-0.65 of the square) stays fully inside the crop.
+            scene, _, _ = make_scene(max(h, w), np.random.default_rng(seed))
+            y0, x0 = (scene.shape[0] - h) // 2, (scene.shape[1] - w) // 2
+            return np.ascontiguousarray(scene[y0:y0 + h, x0:x0 + w])
+    else:
+        tmodel = make_detecting_model("n", nc=2, seed=args.seed)
+        variables = convert_torch_state_dict(tmodel.state_dict())
+
+        def make_frame(h: int, w: int, seed: int) -> np.ndarray:
+            return textured_frame(h, w, seed=seed)
 
     # Two deployment-scale geometries: the reference's 1280x960 frames (0.75
     # resample — includes the documented cv2-u8 vs float resize difference) and
@@ -99,7 +134,7 @@ def main() -> None:
         )
         t0 = time.time()
         for k in range(args.frames):
-            frame = textured_frame(*frame_hw, seed=1000 + k)
+            frame = make_frame(*frame_hw, seed=1000 + k)
             ref = ultralytics_predict(tmodel, frame, imgsz=args.imgsz,
                                       conf_thresh=0.20, iou_thresh=0.25,
                                       max_det=args.max_det)
@@ -171,11 +206,17 @@ def main() -> None:
         "measurement.py:208-210) — model input "
         "960x736 at the default geometry.",
         f"- Oracle: {oracle_desc}.",
-        "- Weights: deterministic seeded YOLOv8n-seg with detection-active class "
-        "biases (`tests/torch_ref.make_detecting_model`) converted via "
-        "`tti.model.convert.convert_torch_state_dict` — the real `.pt` deployment "
-        "weights are absent from the reference mount "
-        "(.MISSING_LARGE_BLOBS) and cannot be fetched.",
+        (f"- Weights: TRAINED tti checkpoint `{args.weights}` (recipe: "
+         "TRAINING.md), exported into the torch oracle via "
+         "`tti.model.convert.to_torch_state_dict` (strict load) — both chains "
+         "run the production network. Frames are synthetic textile scenes "
+         "(`tools/synth_textile.make_scene`), the trained model's domain."
+         if args.weights else
+         "- Weights: deterministic seeded YOLOv8n-seg with detection-active class "
+         "biases (`tests/torch_ref.make_detecting_model`) converted via "
+         "`tti.model.convert.convert_torch_state_dict` — the real `.pt` deployment "
+         "weights are absent from the reference mount "
+         "(.MISSING_LARGE_BLOBS) and cannot be fetched."),
         "- Chain compared END-TO-END: letterbox -> forward -> DFL decode -> "
         "conf filter (strict >) -> class-aware NMS -> process_mask(upsample=True) "
         "-> scale_boxes -> the reference's cv2.INTER_NEAREST mask resize to frame "
@@ -188,18 +229,35 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|---|---|---|---|",
         *[fmt(s) for s in rows],
         "",
-        "North star: mask IoU >= 0.999 (BASELINE.md). Read the table by row:",
-        "- identity-scale/float32 is the design-parity row: no resample, f32 —",
-        "  every chain stage is bit-comparable, so any deviation is a real bug.",
-        "- resample-0.75 adds the ONE documented implementation difference: the",
-        "  oracle (like Ultralytics) resizes with cv2 on uint8 (quantizing the",
-        "  letterboxed image to u8, mean 0.27 LSB deviation from the float",
-        "  resize); tti resizes in float inside the fused graph. The seeded",
-        "  random report network is chaotic (BN-calibrated, untrained), which",
-        "  AMPLIFIES that sub-LSB input difference; trained networks are locally",
-        "  smooth. See tests/test_predict_parity.py for the controlled version.",
-        "- bfloat16 rows measure the production compute dtype on the same",
-        "  chaotic network (worst case for rounding amplification).",
+        *(
+            [
+                "North star: mask IoU >= 0.999 (BASELINE.md). Read the table by row:",
+                "- identity-scale/float32: no resample, f32 — every chain stage is",
+                "  bit-comparable, so any deviation is a real bug.",
+                "- resample-0.75 is the PRODUCTION geometry (1280x960 -> imgsz 960)",
+                "  and carries the ONE documented implementation difference: the",
+                "  oracle (like Ultralytics) resizes with cv2 on uint8; tti resizes",
+                "  in float inside the fused graph (sub-LSB input deviation).",
+                "- bfloat16 rows measure the production compute dtype.",
+                "These rows use the TRAINED network — they measure (not argue) how",
+                "the deployment weights respond to those perturbations.",
+            ]
+            if args.weights else
+            [
+                "North star: mask IoU >= 0.999 (BASELINE.md). Read the table by row:",
+                "- identity-scale/float32 is the design-parity row: no resample, f32 —",
+                "  every chain stage is bit-comparable, so any deviation is a real bug.",
+                "- resample-0.75 adds the ONE documented implementation difference: the",
+                "  oracle (like Ultralytics) resizes with cv2 on uint8 (quantizing the",
+                "  letterboxed image to u8, mean 0.27 LSB deviation from the float",
+                "  resize); tti resizes in float inside the fused graph. The seeded",
+                "  random report network is chaotic (BN-calibrated, untrained), which",
+                "  AMPLIFIES that sub-LSB input difference; trained networks are locally",
+                "  smooth. See tests/test_predict_parity.py for the controlled version.",
+                "- bfloat16 rows measure the production compute dtype on the same",
+                "  chaotic network (worst case for rounding amplification).",
+            ]
+        ),
         "",
         f"Generated by tools/parity_report.py, {time.strftime('%Y-%m-%d %H:%M:%S')}.",
     ]
