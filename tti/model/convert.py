@@ -379,9 +379,22 @@ def load_checkpoint(path: str, template: Tree) -> Tree:
     import os
 
     if os.path.isdir(path):
+        import jax
         import orbax.checkpoint as ocp
 
-        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        # Restore against an ABSTRACT target built from the checkpoint's own
+        # metadata: the stored sharding pins the device the trainer ran on
+        # (e.g. "TPU v5 lite0"), which fails on any other platform; shape/dtype
+        # structs make orbax place arrays on the current default device, so a
+        # TPU-trained checkpoint deploys on CPU hosts and vice versa.
+        ckptr = ocp.StandardCheckpointer()
+        meta = ckptr.metadata(os.path.abspath(path))
+        here = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=here),
+            meta.item_metadata.tree,
+        )
+        restored = ckptr.restore(os.path.abspath(path), abstract)
         # Deploy the EMA weights when the trainer produced them (the
         # Ultralytics-recipe "best" model is the EMA, not the raw params).
         params = restored.get("ema_params") or restored["params"]
