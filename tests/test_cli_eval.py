@@ -1,0 +1,43 @@
+"""CLI `tti eval` smoke: the chunked predict loop end-to-end on a tiny
+YOLO-format dataset (uneven final chunk included) with random-init weights.
+
+Guards the eval harness plumbing — chunk padding, valid-prefix slicing,
+src_index polygon realignment — not model quality (random weights may detect
+nothing; the metrics just have to come back as numbers).
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_dataset(root, n):
+    images = root / "images"
+    labels = root / "labels"
+    images.mkdir(parents=True)
+    labels.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        img[40:, :] = 200  # fabric band
+        img[30:36, 10:22] = 40  # one stitch
+        cv2.imwrite(str(images / f"s_{i}.jpg"), img)
+        (labels / f"s_{i}.txt").write_text(
+            "1 0.0 0.625 1.0 0.625 1.0 1.0 0.0 1.0\n"
+            "0 0.156 0.469 0.344 0.469 0.344 0.562 0.156 0.562\n"
+        )
+    return images
+
+
+def test_cli_eval_smoke(tmp_path, capsys, monkeypatch):
+    from tti.cli.__main__ import main
+
+    images = _write_dataset(tmp_path / "ds", 3)  # 3 images: uneven last chunk
+    monkeypatch.setenv("TTI_MODEL_WEIGHTS", "/nonexistent")  # random init
+    rc = main(["eval", "--images", str(images), "--imgsz", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "box:" in out and "mask(full-res):" in out
+    # Metrics parse as floats (NaN-free dict reprs).
+    assert "nan" not in out.lower()

@@ -347,6 +347,7 @@ def cmd_eval(args) -> int:
     (the COCO-comparable protocol: predictions through the Ultralytics
     process_mask(upsample=True) chain, GT rasterized at imgsz)."""
     import dataclasses
+    import time
 
     import numpy as np
 
@@ -384,36 +385,52 @@ def cmd_eval(args) -> int:
 
     eval_proto: list[ImageEval] = []
     eval_full: list[ImageEval] = []
-    for sample in samples:
-        img, t = sample_to_targets(sample, args.imgsz, max_gt=64)
-        bgr = (img[..., ::-1] * 255).astype(np.uint8)
-        res = predictor(bgr[None])
-        valid = res.valid[0]
-        m = min(int(valid.sum()), res.masks_input.shape[1])
-        common = dict(
-            pred_boxes=res.boxes[0][valid][:m],
-            pred_scores=res.scores[0][valid][:m],
-            pred_classes=res.classes[0][valid][:m],
-            gt_boxes=t["boxes"][t["valid"]],
-            gt_classes=t["classes"][t["valid"]],
-        )
-        eval_proto.append(ImageEval(
-            **common,
-            pred_masks=res.masks_proto[0][:m],
-            gt_masks=np.asarray(t["masks"][t["valid"]]),
-        ))
-        # Index the RAW polygon list through src_index: scene_to_targets
-        # drops degenerate slivers, so positional slicing would rasterize the
-        # wrong instance for every GT after a dropped one.
-        polys = [sample.polygons[i] for i in t["src_index"][t["valid"]]]
-        gt_full = (np.stack([rasterize_polygon(p, (args.imgsz, args.imgsz))
-                             for p in polys])
-                   if polys else np.zeros((0, args.imgsz, args.imgsz), np.float32))
-        eval_full.append(ImageEval(
-            **common,
-            pred_masks=res.masks_input[0][:m],
-            gt_masks=gt_full,
-        ))
+    t_eval0 = time.time()
+    # Chunked predicts: one device dispatch (and one host<->device transfer)
+    # per CHUNK of images, not per image — the per-call relay latency dominated
+    # the serial loop on tethered deployments.
+    chunk = 8
+    for c0 in range(0, len(samples), chunk):
+        if c0:
+            print(f"eval {c0}/{len(samples)} "
+                  f"({time.time() - t_eval0:.0f}s)", flush=True)
+        batch_samples = samples[c0:c0 + chunk]
+        prepped = [sample_to_targets(s, args.imgsz, max_gt=64)
+                   for s in batch_samples]
+        bgr = np.stack([(img[..., ::-1] * 255).astype(np.uint8)
+                        for img, _ in prepped])
+        if len(bgr) < chunk and len(samples) > chunk:  # keep one compiled shape
+            bgr = np.concatenate(
+                [bgr, np.zeros((chunk - len(bgr), *bgr.shape[1:]), bgr.dtype)])
+        res = predictor(bgr)
+        for b, (sample, (img, t)) in enumerate(zip(batch_samples, prepped)):
+            valid = res.valid[b]
+            m = min(int(valid.sum()), res.masks_input.shape[1])
+            common = dict(
+                pred_boxes=res.boxes[b][valid][:m],
+                pred_scores=res.scores[b][valid][:m],
+                pred_classes=res.classes[b][valid][:m],
+                gt_boxes=t["boxes"][t["valid"]],
+                gt_classes=t["classes"][t["valid"]],
+            )
+            eval_proto.append(ImageEval(
+                **common,
+                pred_masks=res.masks_proto[b][:m],
+                gt_masks=np.asarray(t["masks"][t["valid"]]),
+            ))
+            # Index the RAW polygon list through src_index: scene_to_targets
+            # drops degenerate slivers, so positional slicing would rasterize
+            # the wrong instance for every GT after a dropped one.
+            polys = [sample.polygons[i] for i in t["src_index"][t["valid"]]]
+            gt_full = (np.stack([rasterize_polygon(p, (args.imgsz, args.imgsz))
+                                 for p in polys])
+                       if polys else np.zeros((0, args.imgsz, args.imgsz),
+                                              np.float32))
+            eval_full.append(ImageEval(
+                **common,
+                pred_masks=res.masks_input[b][:m],
+                gt_masks=gt_full,
+            ))
 
     box_metrics = evaluate(eval_full, cfg.model.num_classes)
     print("box:", {k: round(v, 4) for k, v in box_metrics.items()})
