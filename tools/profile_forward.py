@@ -1,0 +1,168 @@
+"""Per-op forward-pass profile on the current backend (VERDICT r2 item 2).
+
+Traces the production forward (bf16 YOLOv8-seg after the inference-time weight
+transforms: s2d stem, folded BN) plus optionally the full pipeline step, parses
+the XLA device plane programmatically (jax.profiler.ProfileData — no
+tensorboard needed), and prints the top ops by device time with an
+HLO-category aggregation. This is the measurement tool behind the round-3
+forward/MXU work; committed so the numbers are reproducible.
+
+Usage:
+  python tools/profile_forward.py [--batch 128] [--imgsz 640] [--full]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def collect_device_ops(trace_dir: str):
+    """Parse the newest xplane.pb under trace_dir -> list of (name, dur_us)
+    events from every device (TPU/CPU) plane."""
+    from jax.profiler import ProfileData
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    data = ProfileData.from_file(paths[-1])
+    events = []
+    for plane in data.planes:
+        pname = plane.name.lower()
+        device_plane = "tpu" in pname or "/device" in pname or "gpu" in pname
+        for line in plane.lines:
+            lname = line.name.lower()
+            # TPU: ops live in device planes ("XLA Ops" lines). CPU fallback:
+            # the '/host:CPU' plane's XLA-client threads carry op events.
+            if not (device_plane or lname.startswith("tf_xlapjrt")
+                    or "xla ops" in lname):
+                continue
+            for ev in line.events:
+                if ev.name.startswith(("end:", "ThreadpoolListener",
+                                       "ThunkExecutor")):
+                    continue
+                dur = ev.duration_ns / 1e3
+                if dur > 0:
+                    events.append((ev.name, dur))
+    return events
+
+
+CATEGORY_PATTERNS = [
+    ("convolution", re.compile(r"convolution|conv")),
+    ("fusion", re.compile(r"^(loop_)?fusion")),
+    ("copy/transpose", re.compile(r"copy|transpose|bitcast")),
+    ("reduce", re.compile(r"reduce")),
+    ("dot", re.compile(r"dot|matmul")),
+    ("infeed/outfeed", re.compile(r"infeed|outfeed")),
+]
+
+
+def categorize(name: str) -> str:
+    low = name.lower()
+    for cat, pat in CATEGORY_PATTERNS:
+        if pat.search(low):
+            return cat
+    return "other"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--frame-h", type=int, default=1080)
+    ap.add_argument("--frame-w", type=int, default=1920)
+    ap.add_argument("--full", action="store_true",
+                    help="profile the FULL pipeline step (preprocess + forward "
+                    "+ NMS + measure) instead of the bare forward")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tti_jax_cache_bench")
+
+    from tti.calib.io import CalibrationData
+    from tti.core.config import MeasureConfig, ModelConfig
+    from tti.model.yolo import init_variables
+    from tti.parallel.runtime import InspectionPipeline
+
+    K = np.array([[937.0 * args.frame_w / 1280, 0.0, 636.0 * args.frame_w / 1280],
+                  [0.0, 884.0 * args.frame_h / 960, 422.0 * args.frame_h / 960],
+                  [0.0, 0.0, 1.0]])
+    calib = CalibrationData(
+        K=K, dist=np.array([0.08, 0.048, -0.04, -0.005, -0.133]),
+        rvec=np.array([-0.863, -0.392, -1.359]),
+        tvec=np.array([0.005, 0.036, 0.094]))
+    model_cfg = ModelConfig(variant="n", num_classes=2, image_size=args.imgsz,
+                            dtype="bfloat16")
+    from tti.model.yolo import create_model
+    pipeline = InspectionPipeline(
+        model_cfg=model_cfg,
+        variables=init_variables(create_model("n", nc=2, dtype=jnp.bfloat16),
+                                 image_size=args.imgsz),
+        frame_hw=(args.frame_h, args.frame_w),
+        calibration=calib, measure_cfg=MeasureConfig(),
+    )
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(
+        0, 255, size=(args.batch, args.frame_h, args.frame_w, 3), dtype=np.uint8))
+
+    if args.full:
+        def step():
+            out = pipeline._step(pipeline.variables, frames)
+            return float(jnp.sum(out["dets"].scores))
+    else:
+        pre = jax.jit(pipeline.preprocess)
+        x = jax.block_until_ready(pre(frames, pipeline.warp_weights))
+        fwd = jax.jit(lambda v, xx: pipeline.model.apply(v, xx, train=False))
+
+        def step():
+            raw = fwd(pipeline.variables, x)
+            return float(jnp.sum(raw.protos.astype(jnp.float32)))
+
+    step()  # compile
+    t0 = time.perf_counter()
+    step()
+    base = time.perf_counter() - t0
+
+    trace_dir = tempfile.mkdtemp(prefix="tti_prof_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.iters):
+            step()
+
+    events = collect_device_ops(trace_dir)
+    total = sum(d for _, d in events)
+    per_op = collections.Counter()
+    for name, dur in events:
+        per_op[name] += dur
+    per_cat = collections.Counter()
+    for name, dur in per_op.items():
+        per_cat[categorize(name)] += dur
+
+    label = "full pipeline step" if args.full else "bare forward"
+    print(f"\n== {label}: batch {args.batch}, imgsz {args.imgsz}, "
+          f"wall {base*1e3:.2f} ms/step, device-plane total "
+          f"{total/args.iters/1e3:.2f} ms/step ==")
+    print("\n-- by HLO category (ms/step) --")
+    for cat, dur in per_cat.most_common():
+        print(f"  {cat:18s} {dur/args.iters/1e3:8.3f}  ({dur/total:5.1%})")
+    print(f"\n-- top {args.top} ops (ms/step) --")
+    for name, dur in per_op.most_common(args.top):
+        print(f"  {dur/args.iters/1e3:8.3f}  {dur/total:5.1%}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
