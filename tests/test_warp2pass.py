@@ -124,3 +124,23 @@ def test_col_expand_exactly_matches_decimated_content():
     a = np.asarray(plain(jnp.asarray(content, jnp.float32) / 255.0))
     b = np.asarray(expanded(jnp.asarray(rows, jnp.float32) / 255.0))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_blocked_matches_dense():
+    """Banded/blocked weight slicing (block=N) is EXACT vs the dense two-pass
+    warp: the dropped entries are identically zero, so only f32 accumulation
+    order can differ. Also pins the compression: the banded weights must be
+    materially smaller than the dense matrices for the deployment lens."""
+    spec = letterbox_spec(FH, FW, 160)
+    m = build_small_undistort_map(K, DIST, spec, unpadded_src=True)
+    dense = TwoPassWarp(m, (spec.new_h, spec.new_w))
+    blocked = TwoPassWarp(m, (spec.new_h, spec.new_w), block=64)
+    content = _content(np.random.default_rng(3), spec)
+    want = np.asarray(dense(jnp.asarray(content)))
+    got = np.asarray(blocked(jnp.asarray(content)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert blocked.weight_bytes < 0.6 * dense.weight_bytes, (
+        blocked.weight_bytes, dense.weight_bytes)
+    # weights-as-arguments path (what the jitted runtime threads through)
+    got_args = np.asarray(blocked.apply(jnp.asarray(content), blocked.weights))
+    np.testing.assert_allclose(got_args, got, atol=0)

@@ -193,10 +193,15 @@ class InspectionPipeline:
                         # removes (XLA already fuses that slice into the
                         # einsum operand load). Opt-in for other hardware.
                         col = (k, (k - 1) // 2, frame_hw[1])
+                    blocked = os.environ.get("TTI_WARP_BLOCKED")
                     try:
                         self.remap_xy = TwoPassWarp(
                             small_map, (self.spec.new_h, self.spec.new_w),
                             col_expand=col,
+                            # Banded weight slicing (exact; cuts the per-step
+                            # weight HBM read ~4x). "0" keeps dense; any other
+                            # integer is the output block width.
+                            block=(int(blocked) or None) if blocked else None,
                         )
                     except ValueError:  # non-monotonic vertical map
                         self.remap_xy = PackedRemap(

@@ -51,6 +51,7 @@ class TwoPassWarp:
         pad_value: float = PAD_VALUE / 255.0,
         weight_dtype=None,
         col_expand: tuple[int, int, int] | None = None,  # (k, off, full_w)
+        block: int | None = None,
     ) -> None:
         """col_expand=(k, off, full_w): fold the letterbox's exact integer
         COLUMN decimation (full col = off + k*content_col) into pass 1 by
@@ -127,26 +128,81 @@ class TwoPassWarp:
             w1_full = np.zeros((hs, full_w, wo), np.float32)
             w1_full[:, off : off + k * ws : k, :] = w1
             w1 = w1_full
+
+        # Blocked/banded factorization (exact): each 2-tap kernel row is
+        # nonzero only near the warp diagonal, so for a BLOCK of output
+        # columns the live source-column window is narrow (block width +
+        # local distortion displacement). Slicing the dense matrices down to
+        # those windows drops >75% of the per-step weight HBM read — the only
+        # per-step cost that does NOT amortize with batch — at identical
+        # numerics (the dropped entries are exactly zero). Same story for
+        # pass 2 over output-row blocks. Gated TTI_WARP_BLOCKED (runtime).
+        self.block = block
+        if block is not None:
+            self._w1_blocks: list[tuple[int, Array]] = []
+            self._w2_blocks: list[tuple[int, Array]] = []
+            src_w = w1.shape[1]
+            for o0 in range(0, wo, block):
+                blk = w1[:, :, o0 : o0 + block]
+                live_c = np.nonzero(np.any(blk != 0.0, axis=(0, 2)))[0]
+                c0, c1 = ((0, min(16, src_w)) if live_c.size == 0 else
+                          (int(live_c.min()), int(live_c.max()) + 1))
+                c0 = (c0 // 16) * 16  # sublane-aligned window start
+                self._w1_blocks.append(
+                    (c0, jnp.asarray(blk[:, c0:c1], weight_dtype)))
+            for v0 in range(0, ho, block):
+                blk = w2[:, v0 : v0 + block, :]
+                live_y = np.nonzero(np.any(blk != 0.0, axis=(0, 1)))[0]
+                y0, y1 = ((0, min(16, hs)) if live_y.size == 0 else
+                          (int(live_y.min()), int(live_y.max()) + 1))
+                y0 = (y0 // 16) * 16
+                self._w2_blocks.append(
+                    (y0, jnp.asarray(blk[:, :, y0:y1], weight_dtype)))
+            self.weight_bytes = sum(
+                int(np.prod(w.shape)) * w.dtype.itemsize
+                for _, w in self._w1_blocks + self._w2_blocks)
+            self.w1 = self.w2 = None
+            return
         self.w1 = jnp.asarray(w1, weight_dtype)
         self.w2 = jnp.asarray(w2, weight_dtype)
+        self.weight_bytes = (self.w1.size * self.w1.dtype.itemsize
+                             + self.w2.size * self.w2.dtype.itemsize)
 
     @property
-    def weights(self) -> tuple[Array, Array]:
+    def weights(self):
         """Pass these as JIT ARGUMENTS, never close over them: captured
         weight tensors serialize into the program as constants (hundreds of
-        MB of HLO — breaches remote-compile request limits)."""
+        MB of HLO — breaches remote-compile request limits). Dense mode:
+        (w1, w2); blocked mode: (tuple_of_w1_blocks, tuple_of_w2_blocks)."""
+        if self.block is not None:
+            return (tuple(w for _, w in self._w1_blocks),
+                    tuple(w for _, w in self._w2_blocks))
         return (self.w1, self.w2)
 
-    def apply(self, content: Array, weights: tuple[Array, Array] | None = None) -> Array:
+    def apply(self, content: Array, weights=None) -> Array:
         """(B, hs, ws, C) content -> (B, dst_h, dst_w, C) warped + padded."""
-        w1, w2 = weights if weights is not None else (self.w1, self.w2)
+        w1, w2 = weights if weights is not None else self.weights
         dtype = content.dtype
         pad = jnp.asarray(self.pad_value, jnp.float32)
-        x = content.astype(w1.dtype) - pad.astype(w1.dtype)
-        i1 = jnp.einsum("bywc,ywo->byoc", x, w1,
-                        preferred_element_type=jnp.float32)
-        out = jnp.einsum("byoc,ovy->bvoc", i1.astype(w2.dtype), w2,
-                         preferred_element_type=jnp.float32)
+        if self.block is not None:
+            wdt = w1[0].dtype
+            x = content.astype(wdt) - pad.astype(wdt)
+            i1 = jnp.concatenate([
+                jnp.einsum("bywc,ywo->byoc", x[:, :, c0 : c0 + w.shape[1]], w,
+                           preferred_element_type=jnp.float32)
+                for (c0, _), w in zip(self._w1_blocks, w1)
+            ], axis=2).astype(wdt)
+            out = jnp.concatenate([
+                jnp.einsum("byoc,ovy->bvoc", i1[:, y0 : y0 + w.shape[2]], w,
+                           preferred_element_type=jnp.float32)
+                for (y0, _), w in zip(self._w2_blocks, w2)
+            ], axis=1)
+        else:
+            x = content.astype(w1.dtype) - pad.astype(w1.dtype)
+            i1 = jnp.einsum("bywc,ywo->byoc", x, w1,
+                            preferred_element_type=jnp.float32)
+            out = jnp.einsum("byoc,ovy->bvoc", i1.astype(w2.dtype), w2,
+                             preferred_element_type=jnp.float32)
         out = (out + pad).astype(dtype)
         dst_h, _ = self.dst_hw
         return jnp.pad(
