@@ -138,9 +138,10 @@ def test_full_chain_parity_with_resample():
     # Measured reality of this geometry: the cv2-u8 resize deviates from the
     # float resize by mean 0.27 / max 0.75 LSB per input pixel; a RANDOM
     # (BN-calibrated, chaotic) network amplifies that to ~1 px box shift and
-    # ~0.94 mask IoU on blob-shaped masks. Trained networks are locally smooth
-    # — tools/parity_report.py reports the production-relevant figure; the
-    # exact-chain claim is carried by test_full_chain_parity_no_resample.
+    # ~0.94 mask IoU on blob-shaped masks. With the TRAINED deployment
+    # checkpoint the same chain measures median mask IoU 0.999863 at this
+    # geometry (PARITY_REPORT.md — `tools/parity_report.py --weights ...`);
+    # the exact-chain claim is carried by test_full_chain_parity_no_resample.
     masks_frame = predictor.masks_to_frame(got.masks_input[0])
     ious = [_mask_iou_np(masks_frame[i], ref["masks_frame"][j]) for i, j, _ in pairs]
     assert np.median(ious) >= 0.9 and min(ious) >= 0.85, f"mask IoUs {ious}"

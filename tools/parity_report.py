@@ -41,7 +41,10 @@ def main() -> None:
     ap.add_argument("--imgsz", type=int, default=960)
     ap.add_argument("--frame-h", type=int, default=960)
     ap.add_argument("--frame-w", type=int, default=1280)
-    ap.add_argument("--out", default="PARITY_REPORT.md")
+    ap.add_argument("--out", default=None,
+                    help="default: PARITY_REPORT.md with --weights (trained "
+                    "production report), PARITY_DESIGN.md without (untrained "
+                    "chaotic-network stress report)")
     ap.add_argument("--seed", type=int, default=0)
     # The random report model lights up ~900 anchors at 960px; the production
     # pre_topk=256 cap would make the comparison measure the budget, not the
@@ -55,6 +58,8 @@ def main() -> None:
                     "the torch oracle, and frames are synthetic textile scenes "
                     "(a trained detector does not fire on random texture)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = "PARITY_REPORT.md" if args.weights else "PARITY_DESIGN.md"
 
     import jax
 
@@ -199,7 +204,14 @@ def main() -> None:
         "environment — the harness auto-upgrades to it when importable)"
     )
     lines = [
-        "# PARITY REPORT — full predict chain vs Ultralytics semantics",
+        ("# PARITY REPORT — full predict chain vs Ultralytics semantics"
+         if args.weights else
+         "# PARITY DESIGN-STRESS REPORT — untrained chaotic network (worst case)\n\n"
+         "This is the adversarial companion to PARITY_REPORT.md (the "
+         "TRAINED-network\nreport, the production evidence); an untrained "
+         "BN-calibrated network is\nlocally chaotic and amplifies sub-LSB "
+         "input perturbations — a stress test\nof the chain mechanics, not a "
+         "deployment claim."),
         "",
         f"- Geometry: {args.frame_w}x{args.frame_h} frames, predict imgsz={args.imgsz} "
         "with auto minimal-rect letterbox (the reference deployment's exact call: "

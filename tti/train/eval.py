@@ -76,22 +76,36 @@ def _average_precision(matched: np.ndarray, scores: np.ndarray, n_gt: int) -> fl
     return float(prec.mean())
 
 
-def _match_class(
-    images: list[ImageEval], cls: int, iou_thresh: float, use_masks: bool
-) -> tuple[np.ndarray, np.ndarray, int]:
-    matched_all, scores_all, n_gt = [], [], 0
+def _class_iou_tables(
+    images: list[ImageEval], cls: int, use_masks: bool
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Per-image (iou_matrix, score_order, scores) for one class — the IoU
+    matrix is threshold-independent, so computing it once here and matching
+    greedily per threshold on the cached table is ~10x cheaper than
+    recomputing it for every IoU threshold (the mask matrices are full-image
+    matmuls; the greedy match is trivial)."""
+    tables = []
     for img in images:
         psel = img.pred_classes == cls
         gsel = img.gt_classes == cls
-        n_gt += int(gsel.sum())
-        pb, ps = img.pred_boxes[psel], img.pred_scores[psel]
+        ps = img.pred_scores[psel]
         order = np.argsort(-ps, kind="stable")
         if use_masks:
             iou = mask_iou_matrix(img.pred_masks[psel], img.gt_masks[gsel])
         else:
-            iou = box_iou(pb, img.gt_boxes[gsel])
-        taken = np.zeros(int(gsel.sum()), bool)
-        matched = np.zeros(len(pb), bool)
+            iou = box_iou(img.pred_boxes[psel], img.gt_boxes[gsel])
+        tables.append((iou, order, ps))
+    return tables
+
+
+def _match_class_cached(
+    tables: list[tuple[np.ndarray, np.ndarray, np.ndarray]], iou_thresh: float
+) -> tuple[np.ndarray, np.ndarray, int]:
+    matched_all, scores_all, n_gt = [], [], 0
+    for iou, order, ps in tables:
+        n_gt += iou.shape[1]
+        taken = np.zeros(iou.shape[1], bool)
+        matched = np.zeros(len(ps), bool)
         for i in order:
             if iou.shape[1] == 0:
                 break
@@ -114,9 +128,10 @@ def evaluate(
 ) -> dict[str, float]:
     """Returns {'mAP50': ..., 'mAP50_95': ..., 'AP_class_{c}': ...}."""
     per_class_ap: dict[int, list[float]] = {c: [] for c in range(num_classes)}
-    for thresh in iou_thresholds:
-        for cls in range(num_classes):
-            matched, scores, n_gt = _match_class(images, cls, thresh, use_masks)
+    for cls in range(num_classes):
+        tables = _class_iou_tables(images, cls, use_masks)
+        for thresh in iou_thresholds:
+            matched, scores, n_gt = _match_class_cached(tables, thresh)
             ap = _average_precision(matched, scores, n_gt)
             per_class_ap[cls].append(ap)
 
