@@ -28,8 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def collect_device_ops(trace_dir: str):
-    """Parse the newest xplane.pb under trace_dir -> list of (name, dur_us)
-    events from every device (TPU/CPU) plane."""
+    """Parse the newest xplane.pb under trace_dir -> (ops, async_ops) lists of
+    (name, dur_us). A TPU device plane carries THREE overlapping lines —
+    'XLA Modules' (whole-program spans), 'XLA Ops' (the true per-op compute
+    timeline) and 'Async XLA Ops' (DMA copies overlapped under compute) —
+    summing across them double/triple-counts. Only 'XLA Ops' durations are the
+    device busy time; async copies are returned separately (their time hides
+    under compute unless the op stream stalls on them)."""
     from jax.profiler import ProfileData
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -37,25 +42,39 @@ def collect_device_ops(trace_dir: str):
     if not paths:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
     data = ProfileData.from_file(paths[-1])
-    events = []
+    ops, async_ops = [], []
     for plane in data.planes:
         pname = plane.name.lower()
-        device_plane = "tpu" in pname or "/device" in pname or "gpu" in pname
+        if not ("tpu" in pname or "/device" in pname or "gpu" in pname):
+            continue
         for line in plane.lines:
             lname = line.name.lower()
-            # TPU: ops live in device planes ("XLA Ops" lines). CPU fallback:
-            # the '/host:CPU' plane's XLA-client threads carry op events.
-            if not (device_plane or lname.startswith("tf_xlapjrt")
-                    or "xla ops" in lname):
+            bucket = None
+            if lname == "xla ops":
+                bucket = ops
+            elif lname == "async xla ops":
+                bucket = async_ops
+            if bucket is None:
                 continue
             for ev in line.events:
-                if ev.name.startswith(("end:", "ThreadpoolListener",
-                                       "ThunkExecutor")):
-                    continue
                 dur = ev.duration_ns / 1e3
                 if dur > 0:
-                    events.append((ev.name, dur))
-    return events
+                    bucket.append((ev.name, dur))
+    if not ops:  # CPU backend fallback: op events live on host threads
+        for plane in data.planes:
+            if plane.name != "/host:CPU":
+                continue
+            for line in plane.lines:
+                if not line.name.lower().startswith("tf_xlapjrt"):
+                    continue
+                for ev in line.events:
+                    if ev.name.startswith(("end:", "ThreadpoolListener",
+                                           "ThunkExecutor")):
+                        continue
+                    dur = ev.duration_ns / 1e3
+                    if dur > 0:
+                        ops.append((ev.name, dur))
+    return ops, async_ops
 
 
 CATEGORY_PATTERNS = [
@@ -143,8 +162,9 @@ def main() -> None:
         for _ in range(args.iters):
             step()
 
-    events = collect_device_ops(trace_dir)
+    events, async_events = collect_device_ops(trace_dir)
     total = sum(d for _, d in events)
+    async_total = sum(d for _, d in async_events)
     per_op = collections.Counter()
     for name, dur in events:
         per_op[name] += dur
@@ -154,8 +174,9 @@ def main() -> None:
 
     label = "full pipeline step" if args.full else "bare forward"
     print(f"\n== {label}: batch {args.batch}, imgsz {args.imgsz}, "
-          f"wall {base*1e3:.2f} ms/step, device-plane total "
-          f"{total/args.iters/1e3:.2f} ms/step ==")
+          f"wall {base*1e3:.2f} ms/step, device busy "
+          f"{total/args.iters/1e3:.2f} ms/step "
+          f"(+ {async_total/args.iters/1e3:.2f} ms async DMA, overlapped) ==")
     print("\n-- by HLO category (ms/step) --")
     for cat, dur in per_cat.most_common():
         print(f"  {cat:18s} {dur/args.iters/1e3:8.3f}  ({dur/total:5.1%})")

@@ -373,19 +373,64 @@ class InspectionPipeline:
                 step,
                 in_shardings=(repl, batch_sharding(self.mesh), repl),
             )
-        else:
+            return lambda variables, frames_u8: jitted(variables, frames_u8, warp_w)
+
+        # Single device: let XLA CHOOSE the frames input layout (Layout.AUTO)
+        # and place the frames in that layout, instead of accepting the
+        # default layout and relayouting in-graph. Profiled at batch 128/1080p
+        # the default path's first op is a 3.95 ms pure copy of the 796 MB u8
+        # batch (16% of the step); with the auto layout (batch-minor — the
+        # warp einsum wants B in lanes) the copy vanishes: 26.3 -> 22.5
+        # ms/step measured. Host-fed callers pay the same H2D bytes either
+        # way (the transfer engine linearizes host row-major into any tiled
+        # layout). TTI_INPUT_LAYOUT=0 restores the plain jit.
+        if (jax.default_backend() != "tpu"
+                or os.environ.get("TTI_INPUT_LAYOUT") == "0"):
             jitted = jax.jit(step)
-        # Keep the public (variables, frames) signature; the weights ride
-        # along as a real argument so they never bake into the program.
-        return lambda variables, frames_u8: jitted(variables, frames_u8, warp_w)
+            return lambda variables, frames_u8: jitted(variables, frames_u8, warp_w)
+
+        from jax.experimental.layout import Format, Layout
+
+        jitted = jax.jit(step, in_shardings=(None, Format(Layout.AUTO), None))
+        cache: dict[tuple, tuple] = {}
+
+        def entry_for(variables, shape):
+            e = cache.get(tuple(shape))
+            if e is None:
+                compiled = jitted.lower(
+                    variables, jax.ShapeDtypeStruct(shape, jnp.uint8), warp_w
+                ).compile()
+                fmt = compiled.input_formats[0][1]
+                cache[tuple(shape)] = e = (compiled, fmt)
+            return e
+
+        def run(variables, frames_u8):
+            compiled, fmt = entry_for(variables, frames_u8.shape)
+            if (isinstance(frames_u8, np.ndarray)
+                    or frames_u8.format.layout.major_to_minor
+                    != fmt.layout.major_to_minor):
+                frames_u8 = jax.device_put(frames_u8, fmt)
+            return compiled(variables, frames_u8, warp_w)
+
+        # Callers that keep frames device-resident (bench, stream runners)
+        # pre-place them once in the program's chosen layout.
+        run.prepare_frames = lambda frames_np: jax.device_put(
+            frames_np, entry_for(self.variables, frames_np.shape)[1]
+        )
+        return run
 
     # -- host API ------------------------------------------------------------
 
+    def prepare_frames(self, frames_u8: np.ndarray) -> Array:
+        """Place a frame batch on device in the layout the compiled step
+        consumes directly (no in-graph relayout copy). Falls back to a plain
+        transfer when the step has no layout preference (mesh/CPU paths)."""
+        prep = getattr(self._step, "prepare_frames", None)
+        return prep(frames_u8) if prep is not None else jnp.asarray(frames_u8)
+
     def process_batch(self, frames_bgr_u8: np.ndarray) -> PipelineOutputs:
         """frames (B, H, W, 3) uint8 BGR -> host results (blocking)."""
-        return self.outputs_to_host(
-            self._step(self.variables, jnp.asarray(frames_bgr_u8))
-        )
+        return self.outputs_to_host(self._step(self.variables, frames_bgr_u8))
 
     @staticmethod
     def outputs_to_host(outs: dict) -> PipelineOutputs:
@@ -408,7 +453,7 @@ class InspectionPipeline:
         """Dispatch without blocking (device buffers returned; call
         jax.block_until_ready or np.asarray later). Lets the host pipeline the
         next batch's IO under device compute."""
-        return self._step(self.variables, jnp.asarray(frames_bgr_u8))
+        return self._step(self.variables, frames_bgr_u8)
 
     def profile_batch(self, frames_bgr_u8: np.ndarray, trace_dir: str) -> PipelineOutputs:
         """One step under jax.profiler tracing (SURVEY.md §5: the reference has
@@ -477,12 +522,45 @@ class DualPipeline:
                 self.secondary.postprocess_chain(vars_b, x),
             )
 
-        jitted = jax.jit(step)
-        return lambda va, vb, f: jitted(va, vb, f, warp_w)
+        # Same auto-input-layout treatment as InspectionPipeline._build_step
+        # (the dual program reads the identical 796 MB u8 batch).
+        if (jax.default_backend() != "tpu"
+                or os.environ.get("TTI_INPUT_LAYOUT") == "0"):
+            jitted = jax.jit(step)
+            return lambda va, vb, f: jitted(va, vb, f, warp_w)
+
+        from jax.experimental.layout import Format, Layout
+
+        jitted = jax.jit(step, in_shardings=(None, None, Format(Layout.AUTO), None))
+        cache: dict[tuple, tuple] = {}
+
+        def entry_for(va, vb, shape):
+            e = cache.get(tuple(shape))
+            if e is None:
+                compiled = jitted.lower(
+                    va, vb, jax.ShapeDtypeStruct(shape, jnp.uint8), warp_w
+                ).compile()
+                cache[tuple(shape)] = e = (compiled, compiled.input_formats[0][2])
+            return e
+
+        def run(va, vb, frames_u8):
+            compiled, fmt = entry_for(va, vb, frames_u8.shape)
+            if (isinstance(frames_u8, np.ndarray)
+                    or frames_u8.format.layout.major_to_minor
+                    != fmt.layout.major_to_minor):
+                frames_u8 = jax.device_put(frames_u8, fmt)
+            return compiled(va, vb, frames_u8, warp_w)
+
+        run.prepare_frames = lambda frames_np: jax.device_put(
+            frames_np,
+            entry_for(self.primary.variables, self.secondary.variables,
+                      frames_np.shape)[1],
+        )
+        return run
 
     def process_batch(self, frames_bgr_u8: np.ndarray) -> tuple[PipelineOutputs, PipelineOutputs]:
         outs_a, outs_b = self._step(
-            self.primary.variables, self.secondary.variables, jnp.asarray(frames_bgr_u8)
+            self.primary.variables, self.secondary.variables, frames_bgr_u8
         )
         return (
             InspectionPipeline.outputs_to_host(outs_a),
@@ -493,5 +571,5 @@ class DualPipeline:
         """Dispatch without blocking; materialize with
         InspectionPipeline.outputs_to_host per element."""
         return self._step(
-            self.primary.variables, self.secondary.variables, jnp.asarray(frames_bgr_u8)
+            self.primary.variables, self.secondary.variables, frames_bgr_u8
         )
