@@ -89,6 +89,25 @@ RUNEOF
 chmod +x "${INSTALL_DIR}/run.sh"
 chown -R "${SERVICE_USER}" "${INSTALL_DIR}"
 
+# --- kiosk-host niceties (reference auto_run.sh §8 + §12) ---------------------
+# Power button -> clean poweroff (operators have no keyboard on the line).
+if command -v systemctl >/dev/null 2>&1 && [ -d /etc/acpi ] || command -v acpid >/dev/null 2>&1; then
+    apt-get install -y -qq acpid 2>/dev/null || true
+    mkdir -p /etc/acpi/events
+    cat > /etc/acpi/events/powerbtn <<'ACPIEOF'
+event=button/power
+action=/usr/sbin/poweroff
+ACPIEOF
+    systemctl restart acpid 2>/dev/null || true
+    systemctl enable acpid >/dev/null 2>&1 || true
+fi
+# Remote-desktop support tools need Xorg; disable Wayland when GDM is present.
+if [ -f /etc/gdm3/custom.conf ]; then
+    sed -i 's/^#WaylandEnable=false/WaylandEnable=false/' /etc/gdm3/custom.conf
+    sed -i 's/^WaylandEnable=true/WaylandEnable=false/' /etc/gdm3/custom.conf
+    echo "Wayland disabled in /etc/gdm3/custom.conf (reboot required)"
+fi
+
 # --- systemd unit (Restart=on-failure, RestartSec=5 like the reference) -------
 cat > "/etc/systemd/system/${SERVICE_NAME}.service" <<UNITEOF
 [Unit]
