@@ -58,3 +58,28 @@ def test_maskstats_crop_respected(rng):
     assert float(np.asarray(got["bottom"])[0, 5]) == 15.0
     assert float(np.asarray(got["bottom"])[0, 0]) == -1.0
     np.testing.assert_allclose(np.asarray(got["col_any"]), np.asarray(ref["col_any"]))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maskstats_pallas_batched_matches_xla(seed):
+    """Batched (B, row_tiles)-grid kernel == per-frame XLA reference, frame by
+    frame, including odd (non-tile-multiple) proto heights."""
+    import jax
+
+    from tti.kernels.maskstats import instance_mask_stats_pallas_batched
+
+    rng = np.random.default_rng(100 + seed)
+    b = 3
+    frames = [_random_problem(rng, d=24, hm=40, wm=48) for _ in range(b)]
+    protos = jnp.stack([f[0] for f in frames])
+    coefs = jnp.stack([f[1] for f in frames])
+    boxes = jnp.stack([f[2] for f in frames])
+    valid = jnp.stack([f[3] for f in frames])
+    got = instance_mask_stats_pallas_batched(protos, coefs, boxes, valid,
+                                             interpret=True)
+    ref = jax.vmap(instance_mask_stats_xla)(protos, coefs, boxes, valid)
+    for key in ("m00", "m10", "m01", "col_any", "bottom"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
+            err_msg=f"{key} mismatch",
+        )

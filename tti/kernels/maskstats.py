@@ -49,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _stats_kernel(protos_ref, coefs_ref, boxes_ref, valid_ref,
-                  m_ref, colany_ref, bottom_ref):
+                  m_ref, colany_ref, bottom_ref, *, row_axis: int = 0):
     """One grid step: ROW_TILE proto rows for all D instances.
 
     protos_ref: (nm, ROW_TILE, W) VMEM   — pre-transposed prototypes
@@ -59,8 +59,11 @@ def _stats_kernel(protos_ref, coefs_ref, boxes_ref, valid_ref,
     m_ref:      (D, 128) VMEM out        — [:,0]=m00 [:,1]=m10 [:,2]=m01 (lane-padded)
     colany_ref: (D, W) VMEM out          — 0/1 column occupancy
     bottom_ref: (D, W) VMEM out          — bottom-most row per column, -1 if none
+
+    row_axis: which grid axis walks the proto row-tiles (the batched variant
+    prepends a frame axis; accumulators reset when the row-tile index is 0).
     """
-    step = pl.program_id(0)
+    step = pl.program_id(row_axis)
 
     @pl.when(step == 0)
     def _init():
@@ -157,6 +160,76 @@ def instance_mask_stats_pallas(
     }
 
 
+@partial(jax.jit, static_argnames=("interpret",))
+def instance_mask_stats_pallas_batched(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array, interpret: bool = False
+) -> dict[str, Array]:
+    """Batched fused statistics: grid (B, row_tiles) instead of vmapping the
+    per-frame kernel.
+
+    vmap of a pallas_call prepends the batch to EVERY block (the whole batch of
+    prototypes becomes one grid step's block), which defeats the VMEM tiling
+    and measured 4550 vs 5041 frames/s e2e at batch 128 (round 2). Here the
+    frame axis is a real grid axis: each (b, i) step sees one frame's row-tile,
+    Mosaic pipelines the proto DMAs across steps, and the accumulators reset at
+    i == 0 per frame.
+
+    protos (B, Hm, Wm, nm); coefs (B, D, nm); boxes_grid (B, D, 4);
+    valid (B, D) bool. Returns the per-frame dict with a leading B axis.
+    """
+    b, hm, wm, nm = protos.shape
+    d = coefs.shape[1]
+    d_pad = _round_up(max(d, 8), 8)
+    w_pad = _round_up(wm, 128)
+    h_pad = _round_up(hm, ROW_TILE)
+
+    protos_t = jnp.transpose(protos, (0, 3, 1, 2)).astype(jnp.float32)
+    protos_t = jnp.pad(protos_t, ((0, 0), (0, 0), (0, h_pad - hm), (0, w_pad - wm)))
+    coefs_p = jnp.pad(coefs.astype(jnp.float32), ((0, 0), (0, d_pad - d), (0, 0)))
+    boxes_p = jnp.pad(boxes_grid.astype(jnp.float32), ((0, 0), (0, d_pad - d), (0, 0)))
+    valid_p = jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, d_pad - d)))[..., None]
+
+    grid = (b, h_pad // ROW_TILE)
+    m, col_any, bottom = pl.pallas_call(
+        partial(_stats_kernel, row_axis=1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (None, nm, ROW_TILE, w_pad), lambda bb, i: (bb, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((None, d_pad, nm), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, d_pad, 4), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, d_pad, 1), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, d_pad, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, d_pad, w_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, d_pad, w_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_pad, w_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(protos_t, coefs_p, boxes_p, valid_p)
+
+    return {
+        "m00": m[:, :d, 0],
+        "m10": m[:, :d, 1],
+        "m01": m[:, :d, 2],
+        "col_any": col_any[:, :d, :wm],
+        "bottom": bottom[:, :d, :wm],
+    }
+
+
 def instance_mask_stats_xla(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array
 ) -> dict[str, Array]:
@@ -188,19 +261,46 @@ def instance_mask_stats_xla(
     return {"m00": m00, "m10": m10, "m01": m01, "col_any": col_any, "bottom": bottom}
 
 
+@jax.custom_batching.custom_vmap
+def _stats_pallas_vmappable(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """Per-frame Pallas stats whose vmap rule swaps in the batched-grid kernel
+    (vmap of a pallas_call would instead block the WHOLE batch per grid step)."""
+    return instance_mask_stats_pallas(protos, coefs, boxes_grid, valid)
+
+
+@_stats_pallas_vmappable.def_vmap
+def _stats_pallas_vmap_rule(axis_size, in_batched, protos, coefs, boxes_grid, valid):
+    if not all(in_batched):
+        # Unbatched operands (never happens on the runtime path: detections and
+        # prototypes are both per-frame) — broadcast and use the batched grid.
+        bcast = lambda a, b: a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        protos, coefs, boxes_grid, valid = (
+            bcast(a, b)
+            for a, b in zip((protos, coefs, boxes_grid, valid), in_batched)
+        )
+    out = instance_mask_stats_pallas_batched(protos, coefs, boxes_grid, valid)
+    return out, {k: True for k in out}
+
+
 def instance_mask_stats(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array
 ) -> dict[str, Array]:
-    """Backend dispatch. TTI_MASKSTATS=pallas|xla overrides.
+    """Backend dispatch. TTI_MASKSTATS=pallas|pallas_batched|xla overrides.
 
     Default is the dense XLA path: at the production batch size the one big
     batched einsum beats the vmapped per-frame Pallas grid (measured 1896 vs
-    1737 frames/s e2e at batch 128 on v5e). The Pallas kernel wins only at
-    small batches where its ~330 MB/batch HBM saving matters relative to
-    dispatch overheads — force it with TTI_MASKSTATS=pallas."""
+    1737 frames/s e2e at batch 128 on v5e). `pallas` forces the per-frame
+    kernel (wins at small batches); `pallas_batched` routes any enclosing vmap
+    to the (B, row_tiles)-grid kernel via custom_vmap — the round-3 candidate
+    for the batch-128 tail."""
     import os
 
     forced = os.environ.get("TTI_MASKSTATS")
-    if forced == "pallas" and jax.default_backend() == "tpu":
-        return instance_mask_stats_pallas(protos, coefs, boxes_grid, valid)
+    if jax.default_backend() == "tpu":
+        if forced == "pallas":
+            return instance_mask_stats_pallas(protos, coefs, boxes_grid, valid)
+        if forced == "pallas_batched":
+            return _stats_pallas_vmappable(protos, coefs, boxes_grid, valid)
     return instance_mask_stats_xla(protos, coefs, boxes_grid, valid)
