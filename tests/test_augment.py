@@ -104,3 +104,42 @@ def test_different_keys_differ(dataset):
     a, _ = aug(dataset, jax.random.key(0))
     b, _ = aug(dataset, jax.random.key(1))
     assert float(jnp.abs(a - b).max()) > 1e-3
+
+def test_identity_config_reproduces_source_stride2():
+    """Same identity pin for the hi-res (mask_stride=2) proto grid: the mask
+    resample constants are stride-parametric (q/2, /q, s/(2q)) and must stay
+    exact at q=2."""
+    rng = np.random.default_rng(3)
+    sm2 = S // 2
+    images = rng.integers(0, 255, size=(N, S, S, 3), dtype=np.uint8)
+    boxes = np.zeros((N, G, 4), np.float32)
+    classes = np.zeros((N, G), np.int32)
+    masks = np.zeros((N, G, sm2, sm2), np.uint8)
+    valid = np.zeros((N, G), bool)
+    for i in range(N):
+        for g in range(2):
+            x0, y0 = rng.integers(0, S - 16, 2)
+            w, h = rng.integers(8, 16, 2)
+            boxes[i, g] = [x0, y0, x0 + w, y0 + h]
+            masks[i, g, y0 // 2:(y0 + h) // 2, x0 // 2:(x0 + w) // 2] = 1
+            valid[i, g] = True
+    data = DeviceDataset(
+        images=jnp.asarray(images), boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(classes), masks=jnp.asarray(masks),
+        valid=jnp.asarray(valid),
+    )
+    aug = make_augment_fn(batch_size=3, max_gt=G, scale=0.0, translate=0.0,
+                          mosaic_p=0.0, flip_p=0.0, hsv_gains=(0.0, 0.0, 0.0))
+    imgs, t = aug(data, jax.random.key(2))
+    imgs = np.asarray(imgs)
+    for b in range(3):
+        errs = [float(np.abs(imgs[b] - np.asarray(images[i], np.float32) / 255.0).max())
+                for i in range(N)]
+        src = int(np.argmin(errs))
+        assert errs[src] < 1e-5
+        tv = np.asarray(t.valid[b])
+        assert tv.sum() == 2
+        src_masks = masks[src][valid[src]]
+        assert np.asarray(t.masks[b]).shape[-1] == sm2
+        for m in np.asarray(t.masks[b])[tv]:
+            assert any(np.array_equal(m, sm.astype(np.float32)) for sm in src_masks)

@@ -1,0 +1,108 @@
+"""Hi-res proto head (mask_stride=2) — a tti extension past the reference.
+
+The measured resolution ceiling (MASK_CEILING.md) shows stitch mask AP is
+bounded by the proto grid (input/4 in the Ultralytics export the reference
+deploys: /root/reference/measurement.py:208-210). mask_stride=2 doubles the
+proto grid with a second learned upsample stage. These tests pin:
+
+- forward protos shape at input/2 for both train and inference graphs,
+- one DP train step compiles and decreases loss with GT at the /2 grid,
+- the full inference pipeline (s2d/folded-BN transforms + measurement)
+  runs end-to-end with a mask_stride=2 model,
+- the torch exporter refuses hi-res trees (no Ultralytics counterpart).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from tti.model.yolo import create_model, init_variables
+from tti.train.step import Targets, create_train_state, make_train_step
+
+
+def test_forward_proto_shape_stride2(rng):
+    model = create_model("n", nc=2, mask_stride=2)
+    variables = init_variables(model, image_size=64)
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32))
+    raw = model.apply(variables, x, train=False)
+    assert raw.protos.shape == (1, 32, 32, 32)
+    # Default stays at /4.
+    model4 = create_model("n", nc=2)
+    vars4 = init_variables(model4, image_size=64)
+    assert model4.apply(vars4, x, train=False).protos.shape == (1, 16, 16, 32)
+
+
+def test_train_step_stride2_decreases_loss(rng):
+    imgsz = 32
+    model = create_model("n", nc=2, mask_stride=2)
+    variables = init_variables(model, image_size=imgsz)
+    state, tx = create_train_state(model, variables, learning_rate=5e-3)
+    step = make_train_step(model, tx, (imgsz, imgsz))
+
+    batch, max_gt = 2, 2
+    hm = imgsz // 2
+    images = rng.uniform(0, 1, size=(batch, imgsz, imgsz, 3)).astype(np.float32)
+    boxes = np.tile(np.array([[4, 4, 24, 24], [8, 8, 28, 28]], np.float32),
+                    (batch, 1, 1))
+    targets = Targets(
+        boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(np.zeros((batch, max_gt), np.int32)),
+        masks=jnp.asarray(
+            (rng.uniform(size=(batch, max_gt, hm, hm)) > 0.5).astype(np.float32)),
+        valid=jnp.ones((batch, max_gt), bool),
+    )
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, jnp.asarray(images), targets)
+        losses.append(float(np.asarray(metrics["total"])))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_pipeline_e2e_stride2(rng):
+    """Full inference chain (preprocess -> forward -> NMS -> mask stats ->
+    measurement) with the hi-res head: every downstream stage derives its
+    grid from protos.shape, so nothing may assume /4."""
+    from tti.calib.io import CalibrationData
+    from tti.core.config import MeasureConfig, ModelConfig
+    from tti.parallel.runtime import InspectionPipeline
+
+    imgsz = 64
+    frame_hw = (48, 64)
+    K = np.array([[900.0 * 64 / 1280, 0, 636.0 * 64 / 1280],
+                  [0, 884.0 * 48 / 960, 422.0 * 48 / 960],
+                  [0, 0, 1.0]])
+    calib = CalibrationData(
+        K=K, dist=np.array([0.08, 0.05, -0.04, -0.005, -0.13]),
+        rvec=np.array([-0.863, -0.392, -1.359]),
+        tvec=np.array([0.005, 0.036, 0.094]),
+    )
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=imgsz,
+                      dtype="float32", letterbox="square", mask_stride=2,
+                      max_detections=16)
+    model = create_model("n", nc=2, mask_stride=2)
+    variables = init_variables(model, image_size=imgsz)
+    pipe = InspectionPipeline(
+        model_cfg=cfg, variables=variables, frame_hw=frame_hw,
+        calibration=calib, measure_cfg=MeasureConfig(max_stitches=8),
+        return_masks=True,
+    )
+    frames = rng.integers(0, 255, size=(2, *frame_hw, 3), dtype=np.uint8)
+    outs = pipe.process_batch(frames)
+    assert outs.boxes_frame.shape == (2, 16, 4)
+    assert outs.measurements is not None
+    # Masks come back at the /2 proto grid upsampled to input — shape pinned
+    # by the letterbox spec, not the proto stride.
+    assert outs.masks.shape[:2] == (2, 16)
+    assert np.all(np.isfinite(np.asarray(outs.boxes_frame)))
+
+
+def test_to_torch_rejects_stride2():
+    from tti.model.convert import to_torch_state_dict
+
+    model = create_model("n", nc=2, mask_stride=2)
+    variables = init_variables(model, image_size=32)
+    with pytest.raises(ValueError, match="mask_stride=2"):
+        to_torch_state_dict(variables)

@@ -91,7 +91,8 @@ class Predictor:
         )
         dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
         self.model = model or create_model(
-            model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
+            model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
+            mask_stride=model_cfg.mask_stride,
         )
         self.variables = jax.device_put(variables)
         self.mask_topk = min(mask_topk, model_cfg.max_detections)

@@ -39,7 +39,8 @@ def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
     from tti.parallel.runtime import InspectionPipeline
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
-    model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype)
+    model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype,
+                         mask_stride=cfg.model.mask_stride)
     variables = init_variables(model, image_size=cfg.model.image_size)
     if cfg.model.weights and os.path.exists(cfg.model.weights):
         variables = load_checkpoint(cfg.model.weights, variables)
@@ -366,6 +367,7 @@ def cmd_eval(args) -> int:
                                     # eval images are square-resized (no pad),
                                     # so square/rect letterbox coincide at
                                     # stride-multiple imgsz
+                                    mask_stride=args.mask_stride,
                                     **({"weights": args.weights} if args.weights else {}))
     cfg = cfg.replace(model=model_cfg)
     samples = discover_dataset(args.images)
@@ -373,7 +375,8 @@ def cmd_eval(args) -> int:
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
-    model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype)
+    model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype,
+                         mask_stride=args.mask_stride)
     variables = init_variables(model, image_size=64)
     if cfg.model.weights and os.path.exists(cfg.model.weights):
         variables = load_checkpoint(cfg.model.weights, variables)
@@ -395,7 +398,8 @@ def cmd_eval(args) -> int:
             print(f"eval {c0}/{len(samples)} "
                   f"({time.time() - t_eval0:.0f}s)", flush=True)
         batch_samples = samples[c0:c0 + chunk]
-        prepped = [sample_to_targets(s, args.imgsz, max_gt=64)
+        prepped = [sample_to_targets(s, args.imgsz, max_gt=64,
+                                     mask_stride=args.mask_stride)
                    for s in batch_samples]
         bgr = np.stack([(img[..., ::-1] * 255).astype(np.uint8)
                         for img, _ in prepped])
@@ -497,7 +501,8 @@ def cmd_train(args) -> int:
     from tti.train.step import create_train_state, make_train_step
 
     samples = discover_dataset(args.images)
-    model = create_model(args.variant, nc=args.num_classes)
+    model = create_model(args.variant, nc=args.num_classes,
+                         mask_stride=args.mask_stride)
     variables = init_variables(model, image_size=args.imgsz)
     steps_per_epoch = max(len(samples) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.epochs
@@ -516,7 +521,8 @@ def cmd_train(args) -> int:
         # deployment hosts, where the cv2 recipe costs seconds per sample.
         from tti.train.augment import build_device_dataset, make_augment_fn
 
-        data = build_device_dataset(samples, args.imgsz, args.max_gt)
+        data = build_device_dataset(samples, args.imgsz, args.max_gt,
+                                    mask_stride=args.mask_stride)
         data = replicate(mesh, data) if mesh is not None else jax.device_put(data)
         augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh)
         key = jax.random.key(0)
@@ -532,7 +538,8 @@ def cmd_train(args) -> int:
                 save_train_state(state, args.out, step=seen)
     else:
         for imgs, targets in batches(samples, args.batch_size, args.imgsz,
-                                     max_gt=args.max_gt, epochs=args.epochs):
+                                     max_gt=args.max_gt, epochs=args.epochs,
+                                     mask_stride=args.mask_stride):
             x = jnp.asarray(imgs)
             if mesh is not None:
                 x = shard_batch(mesh, x)
@@ -615,6 +622,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-gt", type=int, default=32)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
+                   help="proto grid = imgsz/mask_stride; 2 = hi-res proto "
+                        "head (tti extension, lifts the small-object mask "
+                        "resolution ceiling — see MASK_CEILING.md)")
     p.add_argument("--host-aug", action="store_true",
                    help="cv2 host-side augmentation instead of the default "
                         "device-side (HBM-resident) pipeline")
@@ -627,6 +638,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--images", required=True)
     p.add_argument("--weights")
     p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4])
     p.set_defaults(func=cmd_eval)
 
     p = sub.add_parser("tune-camera", help="exposure/brightness/contrast tuning")

@@ -138,6 +138,8 @@ class ModelConfig:
     # predict default the reference deployment sees at measurement.py:210:
     # 1280x960 @ imgsz=960 -> 960x736); 'square' pads to the full TxT canvas
     dtype: str = "bfloat16"  # TPU-native compute dtype; params kept fp32
+    mask_stride: int = 4  # proto grid = input/mask_stride; 2 = hi-res proto
+    # head (tti extension — the reference's fixed export is always /4)
 
     @staticmethod
     def from_env(env: Mapping[str, str]) -> "ModelConfig":
@@ -150,6 +152,7 @@ class ModelConfig:
             image_size=env_int(env, "TTI_IMAGE_SIZE", 960),
             letterbox=env_str(env, "TTI_LETTERBOX", "rect") or "rect",
             dtype=env_str(env, "TTI_DTYPE", "bfloat16") or "bfloat16",
+            mask_stride=env_int(env, "TTI_MASK_STRIDE", 4),
         )
 
 

@@ -144,6 +144,11 @@ def to_torch_state_dict(variables: Tree, reg_max: int = 16) -> dict[str, np.ndar
     output has no running statistics to export."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    proto = params.get("m22", {}).get("proto", {})
+    if "upsample2" in proto or "cv2b" in proto:
+        raise ValueError(
+            "mask_stride=2 checkpoints (hi-res proto head) have no Ultralytics "
+            "counterpart — the torch Segment head is fixed at proto=input/4")
     out: dict[str, np.ndarray] = {}
 
     _head = re.compile(r"^cv[234]_\d+_\d+$")

@@ -144,12 +144,19 @@ class SPPF(nn.Module):
 
 
 class Proto(nn.Module):
-    """Mask prototype head: conv -> learned 2x deconv -> conv -> 1x1 to nm protos."""
+    """Mask prototype head: conv -> learned 2x deconv -> conv -> 1x1 to nm protos.
+
+    ups=1 is the Ultralytics structure (protos at input/4 from the P3/8 map).
+    ups=2 inserts a SECOND learned 2x deconv + conv stage ("upsample2"/"cv2b")
+    for protos at input/2 — a tti extension (mask_stride=2): the measured
+    resolution ceiling on small objects (MASK_CEILING.md) is set by the proto
+    grid, not the network, and the reference's fixed export cannot move it."""
 
     c_hidden: int
     nm: int = 32
     dtype: Dtype = jnp.float32
     folded: bool = False
+    ups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -165,6 +172,18 @@ class Proto(nn.Module):
             name="upsample",
         )(x)
         x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2")(x, train)
+        if self.ups == 2:
+            x = nn.ConvTranspose(
+                self.c_hidden,
+                (2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="upsample2",
+            )(x)
+            x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2b")(x, train)
         return Conv(self.nm, 1, 1, dtype=self.dtype, folded=self.folded, name="cv3")(x, train)
 
 

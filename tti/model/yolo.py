@@ -68,7 +68,8 @@ class RawPredictions:
     box:   3 x (B, Hl, Wl, 4*REG_MAX)  DFL distribution logits
     cls:   3 x (B, Hl, Wl, nc)         class logits (pre-sigmoid)
     mcoef: 3 x (B, Hl, Wl, nm)         mask coefficients (tanh-free, raw)
-    protos:    (B, H/4, W/4, nm)       mask prototypes
+    protos:    (B, H/ms, W/ms, nm)     mask prototypes (ms = mask_stride, 4
+                                       by default; 2 with the hi-res head)
     """
 
     box: tuple[jnp.ndarray, ...]
@@ -105,6 +106,7 @@ class Segment(nn.Module):
     dtype: Dtype = jnp.float32
     fused_entry: bool = False
     folded: bool = False
+    mask_stride: int = 4  # proto grid = input/mask_stride (4 = Ultralytics; 2 = hi-res tti extension)
 
     @nn.compact
     def __call__(
@@ -115,6 +117,7 @@ class Segment(nn.Module):
         c4 = max(self.ch[0] // 4, self.nm)
 
         protos = Proto(self.npr, self.nm, dtype=self.dtype, folded=self.folded,
+                       ups={4: 1, 2: 2}[self.mask_stride],
                        name="proto")(feats[0], train)
 
         box_out, cls_out, coef_out = [], [], []
@@ -186,6 +189,7 @@ class YOLOv8Seg(nn.Module):
     s2d_stem: bool = False
     fused_head_entry: bool = False
     folded_bn: bool = False  # expects fold_batchnorm-transformed params
+    mask_stride: int = 4  # 4 = Ultralytics proto grid; 2 = hi-res proto head
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> RawPredictions:
@@ -233,17 +237,22 @@ class YOLOv8Seg(nn.Module):
             dtype=dt,
             fused_entry=self.fused_head_entry,
             folded=fold,
+            mask_stride=self.mask_stride,
             name="m22",
         )
         return head((x15, x18, x21), train)
 
 
 def create_model(
-    variant: str = "n", nc: int = 2, nm: int = 32, dtype: Dtype = jnp.float32
+    variant: str = "n", nc: int = 2, nm: int = 32, dtype: Dtype = jnp.float32,
+    mask_stride: int = 4,
 ) -> YOLOv8Seg:
     if variant not in SCALES:
         raise ValueError(f"unknown variant {variant!r}; choose from {sorted(SCALES)}")
-    return YOLOv8Seg(variant=variant, nc=nc, nm=nm, dtype=dtype)
+    if mask_stride not in (2, 4):
+        raise ValueError(f"mask_stride must be 2 or 4, got {mask_stride}")
+    return YOLOv8Seg(variant=variant, nc=nc, nm=nm, dtype=dtype,
+                     mask_stride=mask_stride)
 
 
 def init_variables(model: YOLOv8Seg, image_size: int = 640, seed: int = 0):

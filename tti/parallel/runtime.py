@@ -137,9 +137,11 @@ class InspectionPipeline:
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
                 s2d_stem=True, fused_head_entry=fuse_head, folded_bn=fold_bn,
+                mask_stride=model_cfg.mask_stride,
             )
         self.model = model or create_model(
-            model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype
+            model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
+            mask_stride=model_cfg.mask_stride,
         )
         # Pin params on device once: weight transforms (and checkpoint loads)
         # can leave numpy leaves in the tree, and a numpy tree is re-uploaded

@@ -48,7 +48,7 @@ class DeviceDataset:
     images: Array  # (N, S, S, 3) uint8 RGB
     boxes: Array  # (N, G, 4) f32 xyxy px at S
     classes: Array  # (N, G) int32
-    masks: Array  # (N, G, Sm, Sm) uint8, proto res (S/4)
+    masks: Array  # (N, G, Sm, Sm) uint8, proto res (S/mask_stride)
     valid: Array  # (N, G) bool
 
     @property
@@ -56,12 +56,13 @@ class DeviceDataset:
         return self.images.shape[1]
 
 
-def build_device_dataset(samples, imgsz: int, max_gt: int) -> DeviceDataset:
+def build_device_dataset(samples, imgsz: int, max_gt: int,
+                         mask_stride: int = 4) -> DeviceDataset:
     """Decode + rasterize the dataset ONCE on host, upload to device."""
     from tti.train.data import _load_resized_u8, rasterize_polygon
 
     n = len(samples)
-    sm = imgsz // 4
+    sm = imgsz // mask_stride
     images = np.zeros((n, imgsz, imgsz, 3), np.uint8)
     boxes = np.zeros((n, max_gt, 4), np.float32)
     classes = np.zeros((n, max_gt), np.int32)
@@ -140,7 +141,8 @@ def _augment_one(
     """One augmented (image f32 (S,S,3), padded-GT dict) drawn from the
     device-resident dataset."""
     s_px = data.imgsz
-    sm = s_px // 4
+    sm = data.masks.shape[2]  # proto grid size (static)
+    q = s_px // sm  # mask stride (4 default; 2 with the hi-res proto head)
     n, g_src = data.boxes.shape[:2]
     k_idx, k_mosaic, k_geom, k_hsv, k_flip = jax.random.split(key, 5)
 
@@ -249,12 +251,13 @@ def _augment_one(
     # nearest-equivalent away from exact ties.
     def one_mask(tile: Array, slot: Array, ok: Array) -> Array:
         src = data.masks[idx[tile], slot].astype(jnp.float32)  # (Sm, Sm)
-        # proto pixel p centers at model px 4p+1.5 on BOTH grids; the -2.0
-        # folds the two half-pixel conventions (verified exact at identity).
-        c_x = ((x0 - tile_off[tile, 0] - 2.0) / 4.0
-               - (0.5 + tx) * s_px / (4.0 * sc) + s_px / 8.0)
-        c_y = ((y0 - tile_off[tile, 1] - 2.0) / 4.0
-               - (0.5 + ty) * s_px / (4.0 * sc) + s_px / 8.0)
+        # proto pixel p centers at model px q*p+(q-1)/2 on BOTH grids; the
+        # -q/2 folds the two half-pixel conventions ((q-1)/2 + 0.5; verified
+        # exact at identity, q=4 reproduces the original -2.0 / /4 / s/8).
+        c_x = ((x0 - tile_off[tile, 0] - q / 2.0) / q
+               - (0.5 + tx) * s_px / (q * sc) + s_px / (2.0 * q))
+        c_y = ((y0 - tile_off[tile, 1] - q / 2.0) / q
+               - (0.5 + ty) * s_px / (q * sc) + s_px / (2.0 * q))
         m = jax.image.scale_and_translate(
             src[..., None], (sm, sm, 1), (0, 1),
             scale=jnp.stack([sc, sc]),
@@ -266,7 +269,8 @@ def _augment_one(
 
     sel_masks = jax.vmap(one_mask)(sel_tile, sel_slot, sel_valid)
     # Output-array flip == flipping the sample positions: index xm then holds
-    # the sample at model px s_px - 4*xm - 2.5, identical to the pre-flip map.
+    # the sample at model px s_px - q*xm - (q/2 + 0.5), identical to the
+    # pre-flip map.
     sel_masks = jnp.where(flip, sel_masks[:, :, ::-1], sel_masks)
 
     return img, {

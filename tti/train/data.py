@@ -5,7 +5,7 @@ YOLO-format data (images/ + labels/*.txt with normalized polygons); this loader
 brings that in-framework so tti.train can produce deployment checkpoints.
 
 Label format per line: ``class x1 y1 x2 y2 ...`` (normalized polygon vertices).
-Masks rasterize at proto resolution (input/4); boxes derive from polygon
+Masks rasterize at proto resolution (input/mask_stride); boxes derive from polygon
 extents. Everything is padded to ``max_gt`` with valid=False (fixed shapes).
 """
 
@@ -140,11 +140,12 @@ def load_image(path: str, imgsz: int) -> np.ndarray:
 
 def scene_to_targets(
     image: np.ndarray, polygons: list[np.ndarray], classes: list[int],
-    imgsz: int, max_gt: int,
+    imgsz: int, max_gt: int, mask_stride: int = 4,
 ) -> tuple[np.ndarray, dict]:
     """(image [0,1] float (S,S,3), normalized polygons) -> padded Targets dict.
-    Degenerate GT (clipped away by augmentation) is dropped."""
-    hm = wm = imgsz // 4
+    Degenerate GT (clipped away by augmentation) is dropped. Masks rasterize
+    on the model's proto grid (imgsz/mask_stride)."""
+    hm = wm = imgsz // mask_stride
     boxes = np.zeros((max_gt, 4), np.float32)
     out_classes = np.zeros((max_gt,), np.int32)
     masks = np.zeros((max_gt, hm, wm), np.float32)
@@ -178,7 +179,8 @@ def scene_to_targets(
 
 
 def sample_to_targets(
-    sample: Sample, imgsz: int, max_gt: int, hflip: bool = False
+    sample: Sample, imgsz: int, max_gt: int, hflip: bool = False,
+    mask_stride: int = 4,
 ) -> tuple[np.ndarray, dict]:
     image = load_image(sample.image_path, imgsz)
     polys = [p.copy() for p in sample.polygons]
@@ -186,7 +188,8 @@ def sample_to_targets(
         image = image[:, ::-1].copy()
         for p in polys:
             p[:, 0] = 1.0 - p[:, 0]
-    return scene_to_targets(image, polys, sample.classes, imgsz, max_gt)
+    return scene_to_targets(image, polys, sample.classes, imgsz, max_gt,
+                            mask_stride=mask_stride)
 
 
 # ---------------------------------------------------------------------------
@@ -306,6 +309,7 @@ def batches(
     seed: int = 0,
     augment: bool = True,
     epochs: int | None = None,
+    mask_stride: int = 4,
 ) -> Iterator[tuple[np.ndarray, Targets]]:
     """Shuffled, padded (images (B,S,S,3), Targets) batches, forever unless
     ``epochs`` bounds it."""
@@ -335,9 +339,11 @@ def batches(
                     img, polys, cls = augmented_scene(
                         samples, np.concatenate([[idx], others]), imgsz, rng
                     )
-                    img, t = scene_to_targets(img, polys, cls, imgsz, max_gt)
+                    img, t = scene_to_targets(img, polys, cls, imgsz, max_gt,
+                                              mask_stride=mask_stride)
                 else:
-                    img, t = sample_to_targets(samples[idx], imgsz, max_gt)
+                    img, t = sample_to_targets(samples[idx], imgsz, max_gt,
+                                               mask_stride=mask_stride)
                 imgs.append(img)
                 tgts.append(t)
             stack = {k: np.stack([t[k] for t in tgts]) for k in tgts[0]}
