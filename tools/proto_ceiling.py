@@ -65,12 +65,12 @@ def crop_proto(mask: np.ndarray, box_proto: np.ndarray) -> np.ndarray:
 
 
 def oracle_masks(gt_full: np.ndarray, boxes: np.ndarray, imgsz: int,
-                 variant: str) -> np.ndarray:
+                 variant: str, stride: int = 4) -> np.ndarray:
     """GT masks -> deployment-chain masks through the best proto rendering."""
     out = np.zeros_like(gt_full, dtype=np.float32)
-    scale = 0.25
+    scale = 1.0 / stride
     for i, (m, b) in enumerate(zip(gt_full, boxes)):
-        proto = area_downsample(m.astype(np.float32), 4)
+        proto = area_downsample(m.astype(np.float32), stride)
         if variant == "binary":
             proto = (proto >= 0.5).astype(np.float32)
         proto = crop_proto(proto, b * scale)
@@ -79,7 +79,8 @@ def oracle_masks(gt_full: np.ndarray, boxes: np.ndarray, imgsz: int,
     return out
 
 
-def run_geometry(samples, imgsz: int, variant: str) -> dict[str, float]:
+def run_geometry(samples, imgsz: int, variant: str,
+                 stride: int = 4) -> dict[str, float]:
     images = []
     for s in samples:
         if not s.polygons:
@@ -90,7 +91,7 @@ def run_geometry(samples, imgsz: int, variant: str) -> dict[str, float]:
             np.concatenate([p.min(0), p.max(0)]) * imgsz for p in s.polygons
         ]).astype(np.float64)
         classes = np.asarray(s.classes, np.int64)
-        pred = oracle_masks(gt_full, boxes, imgsz, variant)
+        pred = oracle_masks(gt_full, boxes, imgsz, variant, stride)
         images.append(ImageEval(
             pred_boxes=boxes, pred_scores=np.ones(len(boxes)),
             pred_classes=classes, gt_boxes=boxes, gt_classes=classes,
@@ -103,6 +104,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", default="/tmp/textile_ds/val/images")
     ap.add_argument("--imgsz", type=int, nargs="*", default=[640, 960])
+    ap.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
+                    help="proto grid = imgsz/stride (2 = the tti hi-res head)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -111,9 +114,9 @@ def main() -> None:
     for imgsz in args.imgsz:
         for variant in ("soft", "binary"):
             t0 = time.time()
-            m = run_geometry(samples, imgsz, variant)
+            m = run_geometry(samples, imgsz, variant, args.mask_stride)
             rows.append((imgsz, variant, m))
-            print(f"imgsz={imgsz} proto={imgsz // 4} {variant}: "
+            print(f"imgsz={imgsz} proto={imgsz // args.mask_stride} {variant}: "
                   f"stitch AP50-95 {m.get('AP_class_0', float('nan')):.3f}  "
                   f"fabric {m.get('AP_class_1', float('nan')):.3f}  "
                   f"mAP50 {m['mAP50']:.3f}  mAP50-95 {m['mAP50_95']:.3f}  "
@@ -123,7 +126,7 @@ def main() -> None:
         "# MASK CEILING — proto-resolution upper bound on full-res mask AP",
         "",
         f"- Oracle predictions: perfect boxes/classes/scores; masks are the GT",
-        f"  itself rendered on the proto grid (input/4) and pushed through the",
+        f"  itself rendered on the proto grid (input/--mask-stride) and pushed through the",
         f"  EXACT deployment chain (crop -> bilinear upsample -> >0.5;",
         f"  tti.postprocess.masks.masks_at_input). AP lost here is lost to",
         f"  RESOLUTION, not to the network. {len(samples)} val scenes,",
@@ -133,7 +136,8 @@ def main() -> None:
         "",
         "| imgsz | proto grid | oracle | stitch AP50-95 | fabric AP50-95 | mAP50 | mAP50-95 |",
         "|---|---|---|---|---|---|---|",
-        *[f"| {s} | {s // 4}x{s // 4} | {v} | {m.get('AP_class_0', float('nan')):.3f} "
+        *[f"| {s} | {s // args.mask_stride}x{s // args.mask_stride} | {v} "
+          f"| {m.get('AP_class_0', float('nan')):.3f} "
           f"| {m.get('AP_class_1', float('nan')):.3f} | {m['mAP50']:.3f} "
           f"| {m['mAP50_95']:.3f} |" for s, v, m in rows],
         "",
