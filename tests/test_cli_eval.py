@@ -41,3 +41,17 @@ def test_cli_eval_smoke(tmp_path, capsys, monkeypatch):
     assert "box:" in out and "mask(full-res):" in out
     # Metrics parse as floats (NaN-free dict reprs).
     assert "nan" not in out.lower()
+
+def test_cli_eval_smoke_mask_stride2(tmp_path, capsys, monkeypatch):
+    """Same harness at --mask-stride 2: the proto-res GT grid (imgsz/2) must
+    match the hi-res model's proto output grid."""
+    from tti.cli.__main__ import main
+
+    images = _write_dataset(tmp_path / "ds2", 2)
+    monkeypatch.setenv("TTI_MODEL_WEIGHTS", "/nonexistent")
+    rc = main(["eval", "--images", str(images), "--imgsz", "64",
+               "--mask-stride", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "box:" in out and "mask(full-res):" in out
+    assert "nan" not in out.lower()
