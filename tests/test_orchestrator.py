@@ -186,3 +186,20 @@ def test_camera_reconnect_after_strikes(tmp_path):
     assert orch.source.reconnects == 1
     assert orch.source.fails >= 10
     assert orch.frame_count == 1
+
+
+def test_run_loop_pipelined_matches_sync(tmp_path):
+    """The double-buffered loop (run(pipelined=True)) must process exactly
+    max_frames frames and integrate the same total distance as the sync loop
+    on the same scripted measurements/counts."""
+    script = [(7.8, 4.9), (7.9, 4.8), (7.7, 5.0), (7.8, 4.9)]
+    counts = [1, 2, 3, 4]
+
+    sync = _orch(tmp_path, list(script), list(counts), seed=3)
+    sync.run(max_frames=4)
+    pipe = _orch(tmp_path, list(script), list(counts), seed=3)
+    pipe.run(max_frames=4, pipelined=True)
+
+    assert sync.frame_count == 4
+    assert pipe.frame_count == 4
+    assert pipe.total_distance_mm == pytest.approx(sync.total_distance_mm)

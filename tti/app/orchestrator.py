@@ -201,9 +201,31 @@ class Orchestrator:
         """Run one frame through the device pipeline + the reference's fusion,
         gating, buffering and integration logic. Returns the measurement dict
         augmented with fusion state (for logging/tests)."""
+        return self.finish_frame(self.dispatch_frame(frame))
+
+    def dispatch_frame(self, frame: np.ndarray):
+        """Non-blocking device dispatch of one frame. The returned handle is
+        finished by :meth:`finish_frame`; in the pipelined loop the NEXT
+        frame's dispatch overlaps this frame's device compute (the single-
+        camera counterpart of MultiStreamRunner.step_pipelined). Pipelines
+        without an async API (test fakes) degrade to a blocking dispatch."""
+        async_fn = getattr(self.pipeline, "process_batch_async", None)
+        with self.timer.stage("dispatch"):
+            if async_fn is None:
+                return (frame, self.pipeline.process_batch(frame[None]), True)
+            return (frame, async_fn(frame[None]), False)
+
+    def finish_frame(self, handle) -> dict:
+        """Fetch a dispatched frame's device results and run the host-side
+        fusion/gating/integration on them."""
+        _, outs, on_host = handle
+        if not on_host:
+            with self.timer.stage("device"):
+                outs = self.pipeline.outputs_to_host(outs)
+        return self._fuse_outputs(outs)
+
+    def _fuse_outputs(self, outs) -> dict:
         cfg = self.config
-        with self.timer.stage("device"):
-            outs = self.pipeline.process_batch(frame[None])
         overflows = outs.budget_overflows(cfg.model, cfg.measure)
         exceeded = [k for k, v in overflows.items() if bool(np.any(v))]
         if exceeded:
@@ -363,11 +385,33 @@ class Orchestrator:
 
     # -- the loop -----------------------------------------------------------------
 
-    def run(self, max_frames: int | None = None) -> None:
-        """The measurement loop (reference: main.py:187-329)."""
+    def _complete(self, handle) -> bool:
+        """Finish a dispatched frame: host fusion, annotation, save/show,
+        frame accounting. Returns False when the display user quit."""
+        frame = handle[0]
+        result = self.finish_frame(handle)
+        annotated = (self.render_annotated(frame, result)
+                     if (self.save_annotated or self.show) else None)
+        self.save_annotated_frame(frame, result, annotated)
+        self.frame_count += 1
+        if self.show and not self._show_frame(annotated):
+            log.info("display window closed by user ('q')")
+            return False
+        return True
+
+    def run(self, max_frames: int | None = None, pipelined: bool = False) -> None:
+        """The measurement loop (reference: main.py:187-329).
+
+        pipelined=True double-buffers the single-camera path: frame N+1's
+        dispatch (and the inter-tick host work) overlaps frame N's device
+        compute, so results lag one tick. Irrelevant at the reference's 2 s
+        cadence, but it makes `tti run` saturate the device at interval 0 the
+        same way the multi-camera MultiStreamRunner does."""
         last_inference = 0.0
         reconnect_attempts = 0
         reconnect_cycles = 0
+        pending = None
+        dispatched = 0
         try:
             while True:
                 ok, frame = self.source.read()
@@ -390,20 +434,29 @@ class Orchestrator:
 
                 now = self.clock()
                 if now - last_inference >= self.config.runtime.inference_interval_s:
-                    result = self.process_once(frame)
-                    annotated = (self.render_annotated(frame, result)
-                                 if (self.save_annotated or self.show) else None)
-                    self.save_annotated_frame(frame, result, annotated)
-                    if self.show and not self._show_frame(annotated):
-                        log.info("display window closed by user ('q')")
-                        break
-                    last_inference = now
-                    self.frame_count += 1
-                    if max_frames is not None and self.frame_count >= max_frames:
-                        break
+                    if pipelined:
+                        # Dispatch first: frame N-1's fetch/fusion below runs
+                        # while THIS frame computes on device.
+                        handle = self.dispatch_frame(frame)
+                        dispatched += 1
+                        if pending is not None and not self._complete(pending):
+                            pending = None
+                            break
+                        pending = handle
+                        last_inference = now
+                        if max_frames is not None and dispatched >= max_frames:
+                            break
+                    else:
+                        if not self._complete(self.dispatch_frame(frame)):
+                            break
+                        last_inference = now
+                        if max_frames is not None and self.frame_count >= max_frames:
+                            break
         except KeyboardInterrupt:
             log.info("interrupted by user")
         finally:
+            if pending is not None:
+                self._complete(pending)
             self.shutdown()
 
 

@@ -132,7 +132,8 @@ def cmd_run(args) -> int:
     pipeline = _load_pipeline(cfg, frame_hw, calibration)
     orch = Orchestrator(cfg, pipeline, source, show=getattr(args, "show", False))
     orch.init_services()
-    orch.run(max_frames=args.max_frames)
+    orch.run(max_frames=args.max_frames,
+             pipelined=getattr(args, "pipelined", False))
     return 0
 
 
@@ -591,6 +592,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="live annotated display, 'q' quits (reference main.py:296-329)")
     p.add_argument("--cameras", type=int, default=1,
                    help="multi-camera line: N streams through one device pipeline")
+    p.add_argument("--pipelined", action="store_true",
+                   help="double-buffer the single-camera loop (results lag one "
+                        "tick; saturates the device at inference-interval 0)")
     p.set_defaults(func=cmd_run)
 
     p = sub.add_parser("check-model", help="annotated detection dump")
