@@ -17,9 +17,25 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+def quantize_act_per_sample(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-sample int8 quantization of an NHWC activation.
+
+    Per-SAMPLE (not per-batch) scales keep every frame's result independent of
+    batch composition — the multi-device equivalence tests (sharded == single
+    device) and the parity story both rely on that. Returns
+    (x_q int8, scale (B, 1, 1, 1) f32) with x ~= x_q * scale.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0)
+    return q.astype(jnp.int8), scale
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -35,7 +51,15 @@ class Conv(nn.Module):
     """Conv2d(bias=False) + BatchNorm + SiLU — the YOLOv8 'Conv' block.
 
     pad: explicit symmetric padding override (None -> autopad; 0 for VALID
-    when the caller pre-pads, e.g. the space-to-depth stem)."""
+    when the caller pre-pads, e.g. the space-to-depth stem).
+
+    qmode='int8' (requires folded): W8A8 post-training quantization for the
+    v5e MXU's 2x int8 throughput. Params become qkernel (int8, per-output-
+    channel symmetric, from tti.model.quantize.quantize_weights), qscale
+    (f32 per-channel) and bias; the activation is quantized per-sample at
+    runtime (dynamic symmetric — no calibration set needed) and the conv
+    accumulates in int32. Symmetric quantization maps padding zeros to int8
+    zero, so SAME padding stays exact."""
 
     c2: int
     k: int = 1
@@ -45,10 +69,35 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
     pad: int | None = None
     folded: bool = False  # inference: BN folded into conv weights+bias
+    qmode: str = ""  # "" (float) | "int8" (W8A8 dynamic PTQ; requires folded)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = autopad(self.k, self.d) if self.pad is None else self.pad
+        if self.qmode == "int8":
+            if not self.folded:
+                raise ValueError("qmode='int8' requires folded BatchNorm")
+            c1 = x.shape[-1]
+            kq = self.param(
+                "qkernel", nn.initializers.zeros, (self.k, self.k, c1, self.c2),
+                jnp.int8,
+            )
+            wscale = self.param(
+                "qscale", nn.initializers.ones, (self.c2,), jnp.float32
+            )
+            bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+            xq, xscale = quantize_act_per_sample(x)
+            y = jax.lax.conv_general_dilated(
+                xq,
+                kq,
+                window_strides=(self.s, self.s),
+                padding=[(p, p), (p, p)],
+                rhs_dilation=(self.d, self.d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (xscale * wscale) + bias).astype(self.dtype)
+            return nn.silu(y) if self.act else y
         x = nn.Conv(
             self.c2,
             (self.k, self.k),
@@ -81,12 +130,13 @@ class Bottleneck(nn.Module):
     e: float = 1.0
     dtype: Dtype = jnp.float32
     folded: bool = False
+    qmode: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_hidden = int(self.c2 * self.e)
-        y = Conv(c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
-        y = Conv(self.c2, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2")(y, train)
+        y = Conv(c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             y = x + y
         return y
@@ -101,19 +151,20 @@ class C2f(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     folded: bool = False
+    qmode: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c = int(self.c2 * self.e)
-        y = Conv(2 * c, 1, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv1")(x, train)
         y1, y2 = jnp.split(y, 2, axis=-1)
         outs = [y1, y2]
         prev = y2
         for i in range(self.n):
             prev = Bottleneck(c, self.shortcut, e=1.0, dtype=self.dtype,
-                              folded=self.folded, name=f"m{i}")(prev, train)
+                              folded=self.folded, qmode=self.qmode, name=f"m{i}")(prev, train)
             outs.append(prev)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, folded=self.folded, name="cv2")(
+        return Conv(self.c2, 1, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv2")(
             jnp.concatenate(outs, axis=-1), train
         )
 
@@ -125,11 +176,12 @@ class SPPF(nn.Module):
     k: int = 5
     dtype: Dtype = jnp.float32
     folded: bool = False
+    qmode: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_hidden = x.shape[-1] // 2
-        y = Conv(c_hidden, 1, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
+        y = Conv(c_hidden, 1, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv1")(x, train)
         p = self.k // 2
         pools = [y]
         for _ in range(3):
@@ -138,7 +190,7 @@ class SPPF(nn.Module):
                     pools[-1], (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)]
                 )
             )
-        return Conv(self.c2, 1, 1, dtype=self.dtype, folded=self.folded, name="cv2")(
+        return Conv(self.c2, 1, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv2")(
             jnp.concatenate(pools, axis=-1), train
         )
 
@@ -156,11 +208,12 @@ class Proto(nn.Module):
     nm: int = 32
     dtype: Dtype = jnp.float32
     folded: bool = False
+    qmode: str = ""
     ups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv1")(x, train)
+        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv1")(x, train)
         x = nn.ConvTranspose(
             self.c_hidden,
             (2, 2),
@@ -171,7 +224,7 @@ class Proto(nn.Module):
             param_dtype=jnp.float32,
             name="upsample",
         )(x)
-        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2")(x, train)
+        x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv2")(x, train)
         if self.ups == 2:
             x = nn.ConvTranspose(
                 self.c_hidden,
@@ -183,8 +236,8 @@ class Proto(nn.Module):
                 param_dtype=jnp.float32,
                 name="upsample2",
             )(x)
-            x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, name="cv2b")(x, train)
-        return Conv(self.nm, 1, 1, dtype=self.dtype, folded=self.folded, name="cv3")(x, train)
+            x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv2b")(x, train)
+        return Conv(self.nm, 1, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv3")(x, train)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

@@ -106,6 +106,7 @@ class Segment(nn.Module):
     dtype: Dtype = jnp.float32
     fused_entry: bool = False
     folded: bool = False
+    qmode: str = ""
     mask_stride: int = 4  # proto grid = input/mask_stride (4 = Ultralytics; 2 = hi-res tti extension)
 
     @nn.compact
@@ -116,31 +117,31 @@ class Segment(nn.Module):
         c3 = max(self.ch[0], min(self.nc, 100))
         c4 = max(self.ch[0] // 4, self.nm)
 
-        protos = Proto(self.npr, self.nm, dtype=self.dtype, folded=self.folded,
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, folded=self.folded, qmode=self.qmode,
                        ups={4: 1, 2: 2}[self.mask_stride],
                        name="proto")(feats[0], train)
 
         box_out, cls_out, coef_out = [], [], []
         for level, x in enumerate(feats):
             if self.fused_entry:
-                bcm = Conv(c2 + c3 + c4, 3, 1, dtype=self.dtype, folded=self.folded,
+                bcm = Conv(c2 + c3 + c4, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode,
                            name=f"cvh_{level}")(x, train)
                 b = bcm[..., :c2]
                 c_in = bcm[..., c2 : c2 + c3]
                 m_in = bcm[..., c2 + c3 :]
             else:
-                b = Conv(c2, 3, 1, dtype=self.dtype, folded=self.folded, name=f"cv2_{level}_0")(x, train)
+                b = Conv(c2, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name=f"cv2_{level}_0")(x, train)
                 c_in = None
                 m_in = None
-            b = Conv(c2, 3, 1, dtype=self.dtype, folded=self.folded, name=f"cv2_{level}_1")(b, train)
+            b = Conv(c2, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name=f"cv2_{level}_1")(b, train)
             b = nn.Conv(
                 4 * REG_MAX, (1, 1), use_bias=True, dtype=self.dtype,
                 param_dtype=jnp.float32, bias_init=nn.initializers.ones,
                 name=f"cv2_{level}_2",
             )(b)
             if not self.fused_entry:
-                c_in = Conv(c3, 3, 1, dtype=self.dtype, folded=self.folded, name=f"cv3_{level}_0")(x, train)
-            c = Conv(c3, 3, 1, dtype=self.dtype, folded=self.folded, name=f"cv3_{level}_1")(c_in, train)
+                c_in = Conv(c3, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name=f"cv3_{level}_0")(x, train)
+            c = Conv(c3, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name=f"cv3_{level}_1")(c_in, train)
             c = nn.Conv(
                 self.nc, (1, 1), use_bias=True, dtype=self.dtype,
                 param_dtype=jnp.float32,
@@ -148,8 +149,8 @@ class Segment(nn.Module):
                 name=f"cv3_{level}_2",
             )(c)
             if not self.fused_entry:
-                m_in = Conv(c4, 3, 1, dtype=self.dtype, folded=self.folded, name=f"cv4_{level}_0")(x, train)
-            m = Conv(c4, 3, 1, dtype=self.dtype, folded=self.folded, name=f"cv4_{level}_1")(m_in, train)
+                m_in = Conv(c4, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name=f"cv4_{level}_0")(x, train)
+            m = Conv(c4, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name=f"cv4_{level}_1")(m_in, train)
             m = nn.Conv(
                 self.nm, (1, 1), use_bias=True, dtype=self.dtype,
                 param_dtype=jnp.float32, name=f"cv4_{level}_2",
@@ -189,6 +190,7 @@ class YOLOv8Seg(nn.Module):
     s2d_stem: bool = False
     fused_head_entry: bool = False
     folded_bn: bool = False  # expects fold_batchnorm-transformed params
+    qmode: str = ""  # '' | 'int8' (W8A8 PTQ; expects quantize_weights params)
     mask_stride: int = 4  # 4 = Ultralytics proto grid; 2 = hi-res proto head
 
     @nn.compact
@@ -197,37 +199,38 @@ class YOLOv8Seg(nn.Module):
         n3, n6 = cc["depth3"], cc["depth6"]
         dt = self.dtype
         fold = self.folded_bn
+        qm = self.qmode
         x = x.astype(dt)
 
         # Backbone (P1..P5).
         if self.s2d_stem:
             z = space_to_depth2(x)
-            x0 = Conv(cc["c64"], 2, 1, dtype=dt, pad=0, folded=fold, name="m0s2d")(
+            x0 = Conv(cc["c64"], 2, 1, dtype=dt, pad=0, folded=fold, qmode=qm, name="m0s2d")(
                 jnp.pad(z, ((0, 0), (1, 0), (1, 0), (0, 0))), train
             )
         else:
-            x0 = Conv(cc["c64"], 3, 2, dtype=dt, folded=fold, name="m0")(x, train)
-        x1 = Conv(cc["c128"], 3, 2, dtype=dt, folded=fold, name="m1")(x0, train)
-        x2 = C2f(cc["c128"], n3, True, dtype=dt, folded=fold, name="m2")(x1, train)
-        x3 = Conv(cc["c256"], 3, 2, dtype=dt, folded=fold, name="m3")(x2, train)
-        x4 = C2f(cc["c256"], n6, True, dtype=dt, folded=fold, name="m4")(x3, train)  # P3
-        x5 = Conv(cc["c512"], 3, 2, dtype=dt, folded=fold, name="m5")(x4, train)
-        x6 = C2f(cc["c512"], n6, True, dtype=dt, folded=fold, name="m6")(x5, train)  # P4
-        x7 = Conv(cc["c1024"], 3, 2, dtype=dt, folded=fold, name="m7")(x6, train)
-        x8 = C2f(cc["c1024"], n3, True, dtype=dt, folded=fold, name="m8")(x7, train)
-        x9 = SPPF(cc["c1024"], 5, dtype=dt, folded=fold, name="m9")(x8, train)  # P5
+            x0 = Conv(cc["c64"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m0")(x, train)
+        x1 = Conv(cc["c128"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m1")(x0, train)
+        x2 = C2f(cc["c128"], n3, True, dtype=dt, folded=fold, qmode=qm, name="m2")(x1, train)
+        x3 = Conv(cc["c256"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m3")(x2, train)
+        x4 = C2f(cc["c256"], n6, True, dtype=dt, folded=fold, qmode=qm, name="m4")(x3, train)  # P3
+        x5 = Conv(cc["c512"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m5")(x4, train)
+        x6 = C2f(cc["c512"], n6, True, dtype=dt, folded=fold, qmode=qm, name="m6")(x5, train)  # P4
+        x7 = Conv(cc["c1024"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m7")(x6, train)
+        x8 = C2f(cc["c1024"], n3, True, dtype=dt, folded=fold, qmode=qm, name="m8")(x7, train)
+        x9 = SPPF(cc["c1024"], 5, dtype=dt, folded=fold, qmode=qm, name="m9")(x8, train)  # P5
 
         # PAN neck.
         t = jnp.concatenate([upsample2x_nearest(x9), x6], axis=-1)
-        x12 = C2f(cc["c512"], n3, False, dtype=dt, folded=fold, name="m12")(t, train)
+        x12 = C2f(cc["c512"], n3, False, dtype=dt, folded=fold, qmode=qm, name="m12")(t, train)
         t = jnp.concatenate([upsample2x_nearest(x12), x4], axis=-1)
-        x15 = C2f(cc["c256"], n3, False, dtype=dt, folded=fold, name="m15")(t, train)  # N3 out
-        t = Conv(cc["c256"], 3, 2, dtype=dt, folded=fold, name="m16")(x15, train)
+        x15 = C2f(cc["c256"], n3, False, dtype=dt, folded=fold, qmode=qm, name="m15")(t, train)  # N3 out
+        t = Conv(cc["c256"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m16")(x15, train)
         t = jnp.concatenate([t, x12], axis=-1)
-        x18 = C2f(cc["c512"], n3, False, dtype=dt, folded=fold, name="m18")(t, train)  # N4 out
-        t = Conv(cc["c512"], 3, 2, dtype=dt, folded=fold, name="m19")(x18, train)
+        x18 = C2f(cc["c512"], n3, False, dtype=dt, folded=fold, qmode=qm, name="m18")(t, train)  # N4 out
+        t = Conv(cc["c512"], 3, 2, dtype=dt, folded=fold, qmode=qm, name="m19")(x18, train)
         t = jnp.concatenate([t, x9], axis=-1)
-        x21 = C2f(cc["c1024"], n3, False, dtype=dt, folded=fold, name="m21")(t, train)  # N5 out
+        x21 = C2f(cc["c1024"], n3, False, dtype=dt, folded=fold, qmode=qm, name="m21")(t, train)  # N5 out
 
         head = Segment(
             nc=self.nc,
@@ -236,7 +239,7 @@ class YOLOv8Seg(nn.Module):
             ch=(cc["p3"], cc["p4"], cc["p5"]),
             dtype=dt,
             fused_entry=self.fused_head_entry,
-            folded=fold,
+            folded=fold, qmode=qm,
             mask_stride=self.mask_stride,
             name="m22",
         )

@@ -127,6 +127,12 @@ class InspectionPipeline:
             # faster (1737 vs 1703 frames/s at batch 128; single-frame p50
             # 8.7 vs 16.7 ms) -> default ON; TTI_FOLDED_BN=0 opts out.
             fold_bn = os.environ.get("TTI_FOLDED_BN", "1") != "0"
+            # W8A8 int8 PTQ (tti.model.quantize): per-channel int8 weights +
+            # dynamic per-sample activation quantization; the v5e MXU runs
+            # s8xs8->s32 convs at 2x its bf16 rate. Opt-in pending the TPU A/B.
+            quant = os.environ.get("TTI_QUANT", "")
+            if quant not in ("", "int8"):
+                raise ValueError(f"TTI_QUANT must be '' or 'int8', got {quant!r}")
             variables = stem_to_s2d(variables)
             if fuse_head:
                 variables = fuse_head_entries(variables)
@@ -134,10 +140,16 @@ class InspectionPipeline:
                 from tti.model.convert import fold_batchnorm
 
                 variables = fold_batchnorm(variables)
+            if quant:
+                if not fold_bn:
+                    raise ValueError("TTI_QUANT=int8 requires folded BN (TTI_FOLDED_BN=1)")
+                from tti.model.quantize import quantize_weights
+
+                variables = quantize_weights(variables)
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
                 s2d_stem=True, fused_head_entry=fuse_head, folded_bn=fold_bn,
-                mask_stride=model_cfg.mask_stride,
+                qmode=quant, mask_stride=model_cfg.mask_stride,
             )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
