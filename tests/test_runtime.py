@@ -144,6 +144,36 @@ def test_sharded_outputs_equal_single_device(rng):
         np.testing.assert_array_equal(outs_s.telemetry[key], outs_u.telemetry[key])
 
 
+def test_spatial_partitioned_equals_single_device(rng):
+    """Spatial partitioning (frame HEIGHT sharded over a 'space' mesh axis —
+    the batch-1 LATENCY axis; XLA SPMD inserts conv halo exchanges) must
+    produce the same results as the unsharded pipeline, not just run."""
+    assert jax.device_count() == 8
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ, dtype="float32",
+                      max_detections=8)
+    model = create_model("n", nc=2)
+    variables = init_variables(model, image_size=IMGSZ)
+    kwargs = dict(model_cfg=cfg, variables=variables, frame_hw=FRAME_HW,
+                  calibration=_calib(), model=model,
+                  measure_cfg=MeasureConfig(max_stitches=8))
+    mesh = create_mesh(shape=(2, 4), axis_names=("data", "space"))
+    sharded = InspectionPipeline(mesh=mesh, **kwargs)
+    single = InspectionPipeline(**kwargs)
+    frames = rng.integers(0, 255, size=(2, *FRAME_HW, 3), dtype=np.uint8)
+    outs_s = sharded.process_batch(frames)
+    outs_u = single.process_batch(frames)
+
+    np.testing.assert_array_equal(outs_s.valid, outs_u.valid)
+    np.testing.assert_array_equal(outs_s.classes, outs_u.classes)
+    np.testing.assert_allclose(outs_s.scores, outs_u.scores, atol=1e-5)
+    np.testing.assert_allclose(outs_s.boxes_frame, outs_u.boxes_frame, atol=1e-3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, equal_nan=True),
+        outs_s.measurements, outs_u.measurements,
+    )
+
+
 def test_rect_letterbox_pipeline_end_to_end(rng):
     """The default rect letterbox on a geometry where it is genuinely
     non-square (48x96 frames at imgsz 96 -> 64x96 model input): full

@@ -40,6 +40,26 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def frame_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for an NHWC frame batch over whichever parallel axes the mesh
+    has: batch on 'data', frame HEIGHT on 'space' (spatial partitioning).
+
+    Spatial partitioning is the latency analog of data parallelism: a
+    convolutional forward sharded on H runs each chip over an H/n slab, and
+    XLA's SPMD partitioner inserts the halo exchanges (ppermute of the k//2
+    boundary rows per conv) over ICI. Data parallelism cannot reduce the
+    latency of ONE frame; a 'space' axis can — the single-frame p50 is
+    dispatch+compute of a 1/n-height slab. Global stages (top_k over anchors,
+    NMS, measurement) make XLA gather per-frame tensors; they are a few
+    percent of the step, so the conv-dominated forward sets the scaling.
+    """
+    names = mesh.axis_names
+    return NamedSharding(
+        mesh, P("data" if "data" in names else None,
+                "space" if "space" in names else None)
+    )
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -382,10 +382,17 @@ class InspectionPipeline:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from tti.parallel.mesh import frame_sharding
+
+            # Frames shard on 'data' (batch) and, if the mesh has one, 'space'
+            # (frame HEIGHT — spatial partitioning; see mesh.frame_sharding).
+            # A 'space' axis turns the conv forward into H-slab SPMD with
+            # XLA-inserted halo exchanges: the only mesh shape that reduces
+            # SINGLE-FRAME latency rather than aggregate throughput.
             repl = NamedSharding(self.mesh, P())
             jitted = jax.jit(
                 step,
-                in_shardings=(repl, batch_sharding(self.mesh), repl),
+                in_shardings=(repl, frame_sharding(self.mesh), repl),
             )
             return lambda variables, frames_u8: jitted(variables, frames_u8, warp_w)
 
