@@ -25,6 +25,18 @@ import argparse
 import os
 import sys
 
+# Honor JAX_PLATFORMS before the first backend use. Some tethered deployments
+# pin the TPU plugin via a site hook that ignores the env var (only jax.config
+# switches work there) — translate it explicitly so `JAX_PLATFORMS=cpu tti
+# eval` runs on CPU when the accelerator is absent or its relay is down.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass  # backends already initialized; env owner wins
+
 from tti.core.config import load_config
 from tti.core.logging import get_logger
 
@@ -384,6 +396,18 @@ def cmd_eval(args) -> int:
         log.info("loaded weights from %s", cfg.model.weights)
     else:
         log.warning("weights %r not found — using random init", cfg.model.weights)
+    if os.environ.get("TTI_QUANT", "") == "int8":
+        # Same gate as the production pipeline: measure the W8A8 mAP delta
+        # with the identical quantization the deployment would run.
+        from tti.model.convert import fold_batchnorm
+        from tti.model.quantize import quantize_weights
+        from tti.model.yolo import YOLOv8Seg
+
+        variables = quantize_weights(fold_batchnorm(variables))
+        model = YOLOv8Seg(variant=cfg.model.variant, nc=cfg.model.num_classes,
+                          dtype=dtype, folded_bn=True, qmode="int8",
+                          mask_stride=args.mask_stride)
+        log.info("evaluating with TTI_QUANT=int8 (W8A8 PTQ)")
     predictor = Predictor(cfg.model, variables, (args.imgsz, args.imgsz),
                           mask_topk=64, model=model, proto_masks=True)
 
