@@ -56,13 +56,27 @@ def main() -> None:
                     "parity with TRAINED production weights — the checkpoint is "
                     "exported through tti.model.convert.to_torch_state_dict into "
                     "the torch oracle, and frames are synthetic textile scenes "
-                    "(a trained detector does not fire on random texture)")
+                    "(a trained detector does not fire on random torch_ref texture)")
+    ap.add_argument("--quant", action="store_true",
+                    help="add an int8-w8a8 row: the TTI_QUANT=int8 production "
+                    "scheme (per-channel int8 weights, dynamic per-sample "
+                    "activation quant) against the same float oracle — "
+                    "quantifies the PTQ deviation at deployment geometry")
     args = ap.parse_args()
     if args.out is None:
         args.out = "PARITY_REPORT.md" if args.weights else "PARITY_DESIGN.md"
 
+    import os
+
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # Tethered deployments pin the TPU plugin via a site hook that ignores
+        # the env var; translate it so CPU runs work with the relay down.
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass
     jax.config.update("jax_compilation_cache_dir", "/tmp/tti_jax_cache_parity")
     jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -120,17 +134,35 @@ def main() -> None:
         ("resample-0.75", (args.frame_h, args.frame_w)),
         ("identity-scale", (736, 960)),
     ]
+    dtypes = ["float32", "bfloat16"]
+    if args.quant:
+        from tti.model.convert import fold_batchnorm
+        from tti.model.quantize import quantize_weights
+        from tti.model.yolo import YOLOv8Seg
+
+        variables_q = quantize_weights(fold_batchnorm(variables))
+        dtypes.append("int8-w8a8")
+
     rows = []
     for geo_name, frame_hw in geometries:
-      for dtype in ("float32", "bfloat16"):
+      for dtype in dtypes:
         cfg = ModelConfig(
             variant="n", num_classes=2, image_size=args.imgsz, letterbox="rect",
-            dtype=dtype, conf_thresh=0.20, iou_thresh=0.25,
+            dtype="float32" if dtype == "int8-w8a8" else dtype,
+            conf_thresh=0.20, iou_thresh=0.25,
             max_detections=args.max_det, nms_pre_topk=args.pre_topk,
         )
-        jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
-        predictor = Predictor(cfg, variables, frame_hw, mask_topk=args.max_det,
-                              model=create_model("n", nc=2, dtype=jdt))
+        if dtype == "int8-w8a8":
+            # f32 carriers isolate the PTQ error itself (production composes
+            # it with bf16; the bf16 row above bounds that part).
+            pvars, pmodel = variables_q, YOLOv8Seg(
+                variant="n", nc=2, dtype=jnp.float32, folded_bn=True,
+                qmode="int8")
+        else:
+            jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+            pvars, pmodel = variables, create_model("n", nc=2, dtype=jdt)
+        predictor = Predictor(cfg, pvars, frame_hw, mask_topk=args.max_det,
+                              model=pmodel)
         print(f"[{geo_name}/{dtype}] input geometry: {predictor.spec}", file=sys.stderr)
 
         stats = dict(
