@@ -17,6 +17,8 @@ here they are subcommands of one CLI:
   python -m tti.cli eval        --images DIR  (box+mask mAP)
   python -m tti.cli convert     --pt model.pt --out model.ckpt
   python -m tti.cli bench                     (same harness as bench.py)
+  python -m tti.cli export      --out a.npz   (frozen StableHLO deployment
+                                               artifact + weights bundle)
 """
 
 from __future__ import annotations
@@ -69,6 +71,33 @@ def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
         return_masks=return_masks,
         model=model,
     )
+
+
+def cmd_export(args) -> int:
+    """Freeze the full inspection step (preprocess -> model -> NMS ->
+    measurement) into a portable StableHLO artifact + weights bundle
+    (tti.app.export). The tti analog of shipping a `.pt`, except the consumer
+    needs only jax + the artifact — not the model/measurement code."""
+    from tti.app.export import export_pipeline
+    from tti.calib.io import CalibrationData
+
+    cfg = load_config(validate=False)
+    frame_hw = (cfg.camera.height, cfg.camera.width)
+    calibration = None
+    if os.path.exists(cfg.runtime.intrinsics_file) and os.path.exists(
+            cfg.runtime.extrinsics_file):
+        calibration = CalibrationData.load(cfg.runtime.intrinsics_file,
+                                           cfg.runtime.extrinsics_file)
+    else:
+        log.warning("calibration files missing — exporting detection-only")
+    pipeline = _load_pipeline(cfg, frame_hw, calibration)
+    platforms = tuple(args.platforms.split(","))
+    blob = export_pipeline(pipeline, batch=args.batch, platforms=platforms)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"exported batch={args.batch} frames={frame_hw} "
+          f"platforms={','.join(platforms)} -> {args.out} ({len(blob)} bytes)")
+    return 0
 
 
 def cmd_calibrate(args) -> int:
@@ -676,6 +705,14 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser("export", help="freeze the inspection step into a "
+                       "portable StableHLO artifact + weights bundle")
+    p.add_argument("--out", default="tti_pipeline.npz")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets (default tpu,cpu)")
+    p.set_defaults(func=cmd_export)
 
     args = parser.parse_args(argv)
     # Multi-host is a deployment configuration, not a code path: when the
