@@ -40,6 +40,39 @@ def test_dfl_loss_minimized_at_target():
     assert good < 0.01 < bad
 
 
+def test_seg_loss_chunked_matches_unchunked(rng):
+    """The rematerialized chunked seg-loss path (hi-res proto grids) must be
+    numerically identical to the single-einsum path — value AND gradients
+    (it only reorders independent per-anchor work into lax.map chunks)."""
+    from tti.train.losses import seg_loss
+
+    a, g, nm, hm = 96, 5, 8, 40
+    coefs = jnp.asarray(rng.normal(size=(a, nm)), jnp.float32)
+    protos = jnp.asarray(rng.normal(size=(hm, hm, nm)), jnp.float32)
+    gt_masks = jnp.asarray(rng.integers(0, 2, size=(g, hm, hm)), jnp.float32)
+    boxes = jnp.asarray(
+        np.stack([np.full(g, 2.0), np.full(g, 3.0),
+                  rng.uniform(20, hm, g), rng.uniform(20, hm, g)], -1),
+        jnp.float32,
+    )
+    assigned = jnp.asarray(rng.integers(0, g, size=(a,)), jnp.int32)
+    pos = jnp.asarray(rng.uniform(size=(a,)) < 0.3)
+
+    def run(chunk):
+        def f(cf, pr):
+            return seg_loss(cf, pr, gt_masks, boxes, assigned, pos, chunk=chunk)
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(coefs, protos)
+        return val, grads
+
+    # P = max(64, 10*g) = 64 here; chunk=16 -> 4 rematerialized chunks.
+    v0, g0 = run(None)
+    v1, g1 = run(16)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    for ga, gb in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_assigner_assigns_inside_anchors():
     """Anchors inside a GT box with high predicted IoU+score become positives."""
     anchors = np.stack(np.meshgrid(np.arange(8.0) * 8 + 4, np.arange(8.0) * 8 + 4),

@@ -65,41 +65,23 @@ def dfl_loss(box_logits: Array, target_ltrb: Array) -> Array:
     return -(wl * ll + wr * lr).mean(axis=-1)
 
 
-def seg_loss(
-    coefs: Array,
-    protos: Array,
-    gt_masks: Array,
+def _seg_per_anchor(
+    coefs: Array, assigned_gt: Array, protos: Array, gt_masks: Array,
     gt_boxes_mask_grid: Array,
-    assigned_gt: Array,
-    pos_mask: Array,
-    eps: float = 1e-6,
 ) -> Array:
-    """Per-positive-anchor instance mask BCE, cropped to the GT box and
-    normalized by its area (the YOLOv8-seg recipe).
+    """Area-normalized box-cropped mask BCE for a slice of anchors.
 
-    coefs (A, nm); protos (Hm, Wm, nm); gt_masks (G, Hm, Wm) binary;
-    gt_boxes_mask_grid (G, 4) xyxy on the proto grid; assigned_gt (A,) int32;
-    pos_mask (A,) bool. Returns scalar.
-
-    The mask tensor is built only for a top-P static slice of anchors ranked
-    by pos_mask, NOT all A anchors: task-aligned assignment selects at most
-    top-k=10 anchors per GT (tti.train.assigner), so P = 10*G covers every
-    positive and the slice is exact — while the dense (A, Hm, Wm) tensor at
-    640 px (A=8400) is a 44 GB allocation that cannot compile on one chip.
-    """
+    coefs (P, nm); assigned_gt (P,); protos (Hm, Wm, nm); gt_masks
+    (G, Hm, Wm); gt_boxes_mask_grid (G, 4). Returns (P,). The per-anchor math
+    is independent across anchors, so callers may evaluate it on any anchor
+    chunking and concatenate — results are bit-identical."""
     hm, wm = protos.shape[0], protos.shape[1]
-    a, g = coefs.shape[0], gt_masks.shape[0]
-    p = min(a, max(64, 10 * g))
-    order = jax.lax.top_k(pos_mask.astype(jnp.float32), p)[1]
-    coefs = coefs[order]
-    assigned_gt = assigned_gt[order]
-    pos_mask = pos_mask[order]
     logits = jnp.einsum(
         "ac,hwc->ahw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )  # (P, Hm, Wm) — only positives matter; masked below.
-    tgt = gt_masks[assigned_gt]  # (A, Hm, Wm)
-    boxes = gt_boxes_mask_grid[assigned_gt]  # (A, 4)
+    )  # (P, Hm, Wm) — only positives matter; masked by the caller.
+    tgt = gt_masks[assigned_gt]  # (P, Hm, Wm)
+    boxes = gt_boxes_mask_grid[assigned_gt]  # (P, 4)
 
     rows = jnp.arange(hm, dtype=jnp.float32).reshape(1, hm, 1)
     cols = jnp.arange(wm, dtype=jnp.float32).reshape(1, 1, wm)
@@ -114,6 +96,83 @@ def seg_loss(
     area = jnp.clip(
         (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1.0
     )
-    per_anchor = per_anchor / area
+    return per_anchor / area
+
+
+# Per-sample logits bytes above which seg_loss switches to the chunked
+# rematerialized path: 160 positives on a 480x480 proto grid (imgsz 960,
+# mask_stride 2) is 147 MB *per sample* — batch 16 exhausts a v5e chip's HBM
+# in this one tensor (measured OOM, round 3). Below it (<=240x240 grids) the
+# single fused einsum is faster and stays.
+_SEG_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def seg_loss(
+    coefs: Array,
+    protos: Array,
+    gt_masks: Array,
+    gt_boxes_mask_grid: Array,
+    assigned_gt: Array,
+    pos_mask: Array,
+    eps: float = 1e-6,
+    chunk: int | None = None,
+) -> Array:
+    """Per-positive-anchor instance mask BCE, cropped to the GT box and
+    normalized by its area (the YOLOv8-seg recipe).
+
+    coefs (A, nm); protos (Hm, Wm, nm); gt_masks (G, Hm, Wm) binary;
+    gt_boxes_mask_grid (G, 4) xyxy on the proto grid; assigned_gt (A,) int32;
+    pos_mask (A,) bool. Returns scalar.
+
+    The mask tensor is built only for a top-P static slice of anchors ranked
+    by pos_mask, NOT all A anchors: task-aligned assignment selects at most
+    top-k=10 anchors per GT (tti.train.assigner), so P = 10*G covers every
+    positive and the slice is exact — while the dense (A, Hm, Wm) tensor at
+    640 px (A=8400) is a 44 GB allocation that cannot compile on one chip.
+
+    On large proto grids (the hi-res mask_stride=2 head at imgsz 960: Hm=480)
+    even the (P, Hm, Wm) slice OOMs, so the slice is further evaluated in
+    fixed CHUNKS of anchors under jax.checkpoint: forward/backward recompute
+    each chunk's logits instead of keeping all P alive. Exact — per-anchor
+    terms are independent and concatenated back in order (bit-identical);
+    only peak memory changes. ``chunk`` overrides the automatic policy
+    (``TTI_SEG_CHUNK`` env does too; 0 forces the unchunked path).
+    """
+    import os
+
+    hm, wm = protos.shape[0], protos.shape[1]
+    a, g = coefs.shape[0], gt_masks.shape[0]
+    p = min(a, max(64, 10 * g))
+    order = jax.lax.top_k(pos_mask.astype(jnp.float32), p)[1]
+    coefs = coefs[order]
+    assigned_gt = assigned_gt[order]
+    pos_mask = pos_mask[order]
+
+    env = os.environ.get("TTI_SEG_CHUNK")
+    if env is not None:
+        chunk = int(env) or None
+    elif chunk is None and p * hm * wm * 4 > _SEG_CHUNK_BYTES:
+        chunk = 32
+
+    if chunk is None or chunk >= p:
+        per_anchor = _seg_per_anchor(
+            coefs, assigned_gt, protos, gt_masks, gt_boxes_mask_grid
+        )
+    else:
+        pad = (-p) % chunk
+        coefs_c = jnp.pad(coefs, ((0, pad), (0, 0)))
+        assigned_c = jnp.pad(assigned_gt, (0, pad))
+        n_chunks = (p + pad) // chunk
+        body = jax.checkpoint(
+            lambda cf, ag: _seg_per_anchor(
+                cf, ag, protos, gt_masks, gt_boxes_mask_grid
+            )
+        )
+        per_anchor = jax.lax.map(
+            lambda args: body(*args),
+            (coefs_c.reshape(n_chunks, chunk, -1),
+             assigned_c.reshape(n_chunks, chunk)),
+        ).reshape(-1)[:p]
+
     n_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
     return jnp.sum(jnp.where(pos_mask, per_anchor, 0.0)) / n_pos
