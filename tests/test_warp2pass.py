@@ -126,6 +126,58 @@ def test_col_expand_exactly_matches_decimated_content():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_s2d_out_matches_blocked_plain_output():
+    """s2d_out must equal space_to_depth2(plain warp output) EXACTLY in
+    structure (same sums, same channel order (dv, do, c)) for dense AND
+    blocked weights — the 2x2 interleave moves into the pass-2 dot's output
+    permutation and the row padding into zero weight rows."""
+    from tti.model.yolo import space_to_depth2
+
+    spec = letterbox_spec(FH, FW, 160)
+    m = build_small_undistort_map(K, DIST, spec, unpadded_src=True)
+    plain = TwoPassWarp(m, (spec.new_h, spec.new_w))
+    content = _content(np.random.default_rng(5), spec)
+    want = np.asarray(space_to_depth2(plain(jnp.asarray(content))))
+    for kw in ({}, {"block": 32}):
+        warp = TwoPassWarp(m, (spec.new_h, spec.new_w), s2d_out=True, **kw)
+        got = np.asarray(warp(jnp.asarray(content)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(kw))
+        # weights-as-arguments path (what the jitted runtime threads through)
+        got_args = np.asarray(warp.apply(jnp.asarray(content), warp.weights))
+        np.testing.assert_allclose(got_args, got, atol=0)
+
+
+def test_s2d_pipeline_matches_default(monkeypatch):
+    """TTI_WARP_S2D=1 end-to-end: the pipeline with the s2d-emitting warp must
+    produce the same detections/measurements as the default pipeline."""
+    from tti.calib.io import CalibrationData
+    from tti.core.config import MeasureConfig, ModelConfig
+    from tti.model.yolo import create_model, init_variables
+    from tti.parallel.runtime import InspectionPipeline
+
+    calib = CalibrationData(K=K, dist=DIST, rvec=np.zeros(3),
+                            tvec=np.array([0, 0, 0.2]))
+    model_cfg = ModelConfig(variant="n", num_classes=2, image_size=64)
+    variables = init_variables(create_model("n", nc=2), image_size=64)
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, size=(2, FH, FW, 3), dtype=np.uint8)
+
+    def run():
+        pipe = InspectionPipeline(
+            model_cfg=model_cfg, variables=variables, frame_hw=(FH, FW),
+            calibration=calib, measure_cfg=MeasureConfig(),
+        )
+        return pipe.process_batch(frames)
+
+    base = run()
+    monkeypatch.setenv("TTI_WARP_S2D", "1")
+    s2d = run()
+    np.testing.assert_allclose(s2d.scores, base.scores, atol=1e-5)
+    np.testing.assert_allclose(s2d.boxes_frame, base.boxes_frame, atol=1e-2)
+    assert (s2d.valid == base.valid).all()
+
+
 def test_blocked_matches_dense():
     """Banded/blocked weight slicing (block=N) is EXACT vs the dense two-pass
     warp: the dropped entries are identically zero, so only f32 accumulation

@@ -188,6 +188,10 @@ class YOLOv8Seg(nn.Module):
     nm: int = 32
     dtype: Dtype = jnp.float32
     s2d_stem: bool = False
+    # Input is ALREADY space-to-depth blocked (B, H/2, W/2, 4C) — the warp
+    # emitted it directly (TwoPassWarp(s2d_out=True)); skip the in-model
+    # blocking transpose. Only meaningful with s2d_stem=True.
+    s2d_input: bool = False
     fused_head_entry: bool = False
     folded_bn: bool = False  # expects fold_batchnorm-transformed params
     qmode: str = ""  # '' | 'int8' (W8A8 PTQ; expects quantize_weights params)
@@ -204,7 +208,7 @@ class YOLOv8Seg(nn.Module):
 
         # Backbone (P1..P5).
         if self.s2d_stem:
-            z = space_to_depth2(x)
+            z = x if self.s2d_input else space_to_depth2(x)
             x0 = Conv(cc["c64"], 2, 1, dtype=dt, pad=0, folded=fold, qmode=qm, name="m0s2d")(
                 jnp.pad(z, ((0, 0), (1, 0), (1, 0), (0, 0))), train
             )

@@ -133,6 +133,11 @@ class InspectionPipeline:
             quant = os.environ.get("TTI_QUANT", "")
             if quant not in ("", "int8"):
                 raise ValueError(f"TTI_QUANT must be '' or 'int8', got {quant!r}")
+            # TwoPassWarp can emit the frame already space-to-depth blocked
+            # (s2d_out), removing the stem's (B, H/2, 2, W/2, 2, C) relayout
+            # copy and the letterbox pad op from the step. Opt-in pending the
+            # TPU A/B at the production batch size.
+            warp_s2d = os.environ.get("TTI_WARP_S2D") == "1"
             variables = stem_to_s2d(variables)
             if fuse_head:
                 variables = fuse_head_entries(variables)
@@ -148,8 +153,9 @@ class InspectionPipeline:
                 variables = quantize_weights(variables)
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
-                s2d_stem=True, fused_head_entry=fuse_head, folded_bn=fold_bn,
-                qmode=quant, mask_stride=model_cfg.mask_stride,
+                s2d_stem=True, s2d_input=warp_s2d, fused_head_entry=fuse_head,
+                folded_bn=fold_bn, qmode=quant,
+                mask_stride=model_cfg.mask_stride,
             )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
@@ -216,6 +222,9 @@ class InspectionPipeline:
                             # weight HBM read ~4x). "0" keeps dense; any other
                             # integer is the output block width.
                             block=(int(blocked) or None) if blocked else None,
+                            # Emit pre-blocked s2d output when the model skips
+                            # its own blocking transpose.
+                            s2d_out=getattr(self.model, "s2d_input", False),
                         )
                     except ValueError:  # non-monotonic vertical map
                         self.remap_xy = PackedRemap(
@@ -261,6 +270,10 @@ class InspectionPipeline:
         from tti.preprocess.warp2pass import TwoPassWarp
 
         pre_dtype = jnp.bfloat16 if self.model_cfg.dtype == "bfloat16" else jnp.float32
+        # Contract with the model: s2d_input=True means the model skips its
+        # own space-to-depth blocking. The s2d-emitting warp satisfies it for
+        # free; every other path blocks here (same op the model would run).
+        want_s2d = getattr(self.model, "s2d_input", False)
         if isinstance(self.remap_xy, TwoPassWarp):
             from tti.preprocess.letterbox import (
                 bgr_to_rgb, letterbox_content, normalize,
@@ -274,16 +287,28 @@ class InspectionPipeline:
             else:
                 content = letterbox_content(frames_u8, self.spec, pre_dtype,
                                             decimate=True)
-            return self.remap_xy.apply(content, warp_weights)
-        if self.remap_xy is not None:
-            return letterbox_then_undistort(frames_u8, self.spec, self.remap_xy,
-                                            dtype=pre_dtype)
-        # letterbox_u8 with the ALREADY-COMPUTED spec — re-deriving geometry
-        # from (dst_h, dst_w) can disagree with a rect spec by 1px on the
-        # non-binding axis while scale_boxes_to_frame inverts spec.scale.
-        from tti.preprocess.letterbox import letterbox_u8
+            out = self.remap_xy.apply(content, warp_weights)
+            if want_s2d and not self.remap_xy.s2d_out:
+                from tti.model.yolo import space_to_depth2
 
-        return letterbox_u8(frames_u8, self.spec, pre_dtype)
+                out = space_to_depth2(out)
+            return out
+        if self.remap_xy is not None:
+            out = letterbox_then_undistort(frames_u8, self.spec, self.remap_xy,
+                                           dtype=pre_dtype)
+        else:
+            # letterbox_u8 with the ALREADY-COMPUTED spec — re-deriving
+            # geometry from (dst_h, dst_w) can disagree with a rect spec by
+            # 1px on the non-binding axis while scale_boxes_to_frame inverts
+            # spec.scale.
+            from tti.preprocess.letterbox import letterbox_u8
+
+            out = letterbox_u8(frames_u8, self.spec, pre_dtype)
+        if want_s2d:
+            from tti.model.yolo import space_to_depth2
+
+            out = space_to_depth2(out)
+        return out
 
     def postprocess_chain(self, variables, x) -> dict:
         """Traced: preprocessed input -> the full per-model chain (forward,

@@ -52,13 +52,23 @@ class TwoPassWarp:
         weight_dtype=None,
         col_expand: tuple[int, int, int] | None = None,  # (k, off, full_w)
         block: int | None = None,
+        s2d_out: bool = False,
     ) -> None:
         """col_expand=(k, off, full_w): fold the letterbox's exact integer
         COLUMN decimation (full col = off + k*content_col) into pass 1 by
         scattering its kernels onto the full-resolution column grid — the
         einsum then consumes ROW-SLICED full-width frames (contiguous DMA)
         and the stride-k column access disappears entirely. Exactly
-        equivalent: the expanded kernels sample the same decimated pixels."""
+        equivalent: the expanded kernels sample the same decimated pixels.
+
+        s2d_out: emit the warped frame already space-to-depth-2 blocked,
+        (B, dst_h/2, dst_w/2, 4C), matching tti.model.yolo.space_to_depth2
+        exactly. Pass 2 is the SAME batched matmul (the batch dim o just
+        splits into (o2, phase)), but the 2x2 interleave happens in the dot's
+        output permutation instead of a standalone relayout copy, and the
+        letterbox row padding folds into zero weight rows — both the
+        (B, H/2, 2, W/2, 2, C) transpose copy and the pad op vanish from the
+        step. Requires even dst dims (stride-32 letterbox targets are)."""
         if weight_dtype is None:
             # bf16 weights (8 mantissa bits — the same fractional precision
             # the packed-u32 gather path quantizes to) except on CPU, whose
@@ -129,6 +139,19 @@ class TwoPassWarp:
             w1_full[:, off : off + k * ws : k, :] = w1
             w1 = w1_full
 
+        self.s2d_out = s2d_out
+        if s2d_out:
+            if dst_h % 2 or wo % 2:
+                raise ValueError("s2d_out requires even dst dims")
+            # Fold the letterbox row padding into all-zero kernel rows: padded
+            # output rows resolve to pad_value exactly like jnp.pad did, and
+            # pass 2 then covers the FULL dst canvas so the 2x2 blocking is a
+            # uniform reshape of its output dims.
+            w2_full = np.zeros((wo, dst_h, hs), np.float32)
+            w2_full[:, self.row_start : self.row_stop] = w2
+            w2 = w2_full
+            ho = dst_h
+
         # Blocked/banded factorization (exact): each 2-tap kernel row is
         # nonzero only near the warp diagonal, so for a BLOCK of output
         # columns the live source-column window is narrow (block width +
@@ -139,6 +162,8 @@ class TwoPassWarp:
         # pass 2 over output-row blocks. Gated TTI_WARP_BLOCKED (runtime).
         self.block = block
         if block is not None:
+            if s2d_out and block % 2:
+                raise ValueError("s2d_out blocked mode needs an even block")
             self._w1_blocks: list[tuple[int, Array]] = []
             self._w2_blocks: list[tuple[int, Array]] = []
             src_w = w1.shape[1]
@@ -156,13 +181,17 @@ class TwoPassWarp:
                 y0, y1 = ((0, min(16, hs)) if live_y.size == 0 else
                           (int(live_y.min()), int(live_y.max()) + 1))
                 y0 = (y0 // 16) * 16
-                self._w2_blocks.append(
-                    (y0, jnp.asarray(blk[:, :, y0:y1], weight_dtype)))
+                blk = blk[:, :, y0:y1]
+                if s2d_out:  # (o, v, y) -> (o2, do, v2, dv, y)
+                    blk = blk.reshape(wo // 2, 2, blk.shape[1] // 2, 2, -1)
+                self._w2_blocks.append((y0, jnp.asarray(blk, weight_dtype)))
             self.weight_bytes = sum(
                 int(np.prod(w.shape)) * w.dtype.itemsize
                 for _, w in self._w1_blocks + self._w2_blocks)
             self.w1 = self.w2 = None
             return
+        if s2d_out:  # (o, v, y) -> (o2, do, v2, dv, y)
+            w2 = w2.reshape(wo // 2, 2, ho // 2, 2, hs)
         self.w1 = jnp.asarray(w1, weight_dtype)
         self.w2 = jnp.asarray(w2, weight_dtype)
         self.weight_bytes = (self.w1.size * self.w1.dtype.itemsize
@@ -180,10 +209,12 @@ class TwoPassWarp:
         return (self.w1, self.w2)
 
     def apply(self, content: Array, weights=None) -> Array:
-        """(B, hs, ws, C) content -> (B, dst_h, dst_w, C) warped + padded."""
+        """(B, hs, ws, C) content -> (B, dst_h, dst_w, C) warped + padded;
+        s2d_out mode returns (B, dst_h/2, dst_w/2, 4C) pre-blocked instead."""
         w1, w2 = weights if weights is not None else self.weights
         dtype = content.dtype
         pad = jnp.asarray(self.pad_value, jnp.float32)
+        s2d = self.s2d_out
         if self.block is not None:
             wdt = w1[0].dtype
             x = content.astype(wdt) - pad.astype(wdt)
@@ -192,17 +223,38 @@ class TwoPassWarp:
                            preferred_element_type=jnp.float32)
                 for (c0, _), w in zip(self._w1_blocks, w1)
             ], axis=2).astype(wdt)
-            out = jnp.concatenate([
-                jnp.einsum("byoc,ovy->bvoc", i1[:, y0 : y0 + w.shape[2]], w,
-                           preferred_element_type=jnp.float32)
-                for (y0, _), w in zip(self._w2_blocks, w2)
-            ], axis=1)
+            if s2d:
+                i1 = i1.reshape(i1.shape[0], i1.shape[1], -1, 2, i1.shape[3])
+                out = jnp.concatenate([
+                    jnp.einsum("byodc,odvey->bvoedc",
+                               i1[:, y0 : y0 + w.shape[4]], w,
+                               preferred_element_type=jnp.float32)
+                    for (y0, _), w in zip(self._w2_blocks, w2)
+                ], axis=1)
+            else:
+                out = jnp.concatenate([
+                    jnp.einsum("byoc,ovy->bvoc", i1[:, y0 : y0 + w.shape[2]], w,
+                               preferred_element_type=jnp.float32)
+                    for (y0, _), w in zip(self._w2_blocks, w2)
+                ], axis=1)
         else:
             x = content.astype(w1.dtype) - pad.astype(w1.dtype)
             i1 = jnp.einsum("bywc,ywo->byoc", x, w1,
                             preferred_element_type=jnp.float32)
-            out = jnp.einsum("byoc,ovy->bvoc", i1.astype(w2.dtype), w2,
-                             preferred_element_type=jnp.float32)
+            i1 = i1.astype(w2.dtype)
+            if s2d:
+                i1 = i1.reshape(i1.shape[0], i1.shape[1], -1, 2, i1.shape[3])
+                out = jnp.einsum("byodc,odvey->bvoedc", i1, w2,
+                                 preferred_element_type=jnp.float32)
+            else:
+                out = jnp.einsum("byoc,ovy->bvoc", i1, w2,
+                                 preferred_element_type=jnp.float32)
+        if s2d:
+            # (b, v2, o2, dv, do, c) -> channel index (dv*2 + do)*C + c,
+            # exactly space_to_depth2's order; row padding is already baked
+            # into the zero weight rows.
+            b, v2, o2, dv, do, c = out.shape
+            return (out + pad).astype(dtype).reshape(b, v2, o2, dv * do * c)
         out = (out + pad).astype(dtype)
         dst_h, _ = self.dst_hw
         return jnp.pad(
