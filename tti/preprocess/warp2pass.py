@@ -263,4 +263,32 @@ class TwoPassWarp:
             constant_values=jnp.asarray(self.pad_value, dtype),
         )
 
+    def apply_pass2_ycbo(self, i1: Array, weights=None, out_dtype=None) -> Array:
+        """Pass 2 over a pass-1 intermediate in (y, c, b, o) layout — what the
+        fused Pallas pass-1 kernel (tti.kernels.warp_p1) emits. Same batched
+        matmul as apply()'s pass 2 with lhs free dims (c, b) instead of
+        (b, c); dense weights only (the kernel path implies dense pass 1)."""
+        if self.block is not None:
+            raise NotImplementedError("pass-2-from-i1 requires dense weights")
+        _, w2 = weights if weights is not None else self.weights
+        dtype = out_dtype or i1.dtype
+        pad = jnp.asarray(self.pad_value, jnp.float32)
+        i1 = i1.astype(w2.dtype)
+        if self.s2d_out:
+            y, c, b, o = i1.shape
+            i1r = i1.reshape(y, c, b, o // 2, 2)
+            out = jnp.einsum("ycbod,odvey->bvoedc", i1r, w2,
+                             preferred_element_type=jnp.float32)
+            b, v2, o2, dv, do, c = out.shape
+            return (out + pad).astype(dtype).reshape(b, v2, o2, dv * do * c)
+        out = jnp.einsum("ycbo,ovy->bvoc", i1, w2,
+                         preferred_element_type=jnp.float32)
+        out = (out + pad).astype(dtype)
+        dst_h, _ = self.dst_hw
+        return jnp.pad(
+            out,
+            ((0, 0), (self.row_start, dst_h - self.row_stop), (0, 0), (0, 0)),
+            constant_values=jnp.asarray(self.pad_value, dtype),
+        )
+
     __call__ = apply
