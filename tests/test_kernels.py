@@ -83,3 +83,99 @@ def test_maskstats_pallas_batched_matches_xla(seed):
             np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
             err_msg=f"{key} mismatch",
         )
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maskstats_pallas2_matches_xla(seed):
+    """v2 (detections-in-lanes, native-layout protos) == XLA reference."""
+    from tti.kernels.maskstats import instance_mask_stats_pallas2
+
+    rng = np.random.default_rng(seed)
+    protos, coefs, boxes, valid = _random_problem(rng)
+    ref = instance_mask_stats_xla(protos, coefs, boxes, valid)
+    got = instance_mask_stats_pallas2(protos, coefs, boxes, valid, interpret=True)
+    for key in ("m00", "m10", "m01", "col_any", "bottom"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
+            err_msg=f"{key} mismatch",
+        )
+
+
+def test_maskstats_pallas2_bf16_protos(rng):
+    """Production dtype: bf16 protos through v2 == XLA reference on the same
+    bf16-origin values (products are exact; f32 accumulation both sides)."""
+    from tti.kernels.maskstats import instance_mask_stats_pallas2
+
+    protos, coefs, boxes, valid = _random_problem(rng)
+    protos16 = protos.astype(jnp.bfloat16)
+    ref = instance_mask_stats_xla(protos16, coefs, boxes, valid)
+    got = instance_mask_stats_pallas2(protos16, coefs, boxes, valid,
+                                      interpret=True)
+    for key in ("m00", "m10", "m01", "col_any", "bottom"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
+            err_msg=f"{key} mismatch",
+        )
+
+
+def test_maskstats_pallas2_invalid_and_crop(rng):
+    from tti.kernels.maskstats import instance_mask_stats_pallas2
+
+    protos, coefs, boxes, valid = _random_problem(rng)
+    out = instance_mask_stats_pallas2(protos, coefs, boxes,
+                                      jnp.zeros_like(valid), interpret=True)
+    assert float(np.asarray(out["m00"]).sum()) == 0.0
+    assert np.all(np.asarray(out["bottom"]) == -1.0)
+
+    hm = wm = 32
+    protos = jnp.ones((hm, wm, 32), jnp.float32)
+    coefs = jnp.ones((4, 32), jnp.float32)
+    boxes = jnp.asarray(np.array([[4, 8, 12, 16]] * 4, np.float32))
+    got = instance_mask_stats_pallas2(protos, coefs, boxes,
+                                      jnp.ones(4, bool), interpret=True)
+    assert float(np.asarray(got["m00"])[0]) == 64.0
+    assert float(np.asarray(got["bottom"])[0, 5]) == 15.0
+    assert float(np.asarray(got["bottom"])[0, 0]) == -1.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maskstats_pallas2_batched_matches_xla(seed):
+    """Batched v2 == per-frame XLA, including odd proto heights (row padding)."""
+    import jax
+
+    from tti.kernels.maskstats import instance_mask_stats_pallas2_batched
+
+    rng = np.random.default_rng(200 + seed)
+    b = 3
+    frames = [_random_problem(rng, d=24, hm=40, wm=48) for _ in range(b)]
+    protos = jnp.stack([f[0] for f in frames])
+    coefs = jnp.stack([f[1] for f in frames])
+    boxes = jnp.stack([f[2] for f in frames])
+    valid = jnp.stack([f[3] for f in frames])
+    got = instance_mask_stats_pallas2_batched(protos, coefs, boxes, valid,
+                                              interpret=True)
+    ref = jax.vmap(instance_mask_stats_xla)(protos, coefs, boxes, valid)
+    for key in ("m00", "m10", "m01", "col_any", "bottom"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
+            err_msg=f"{key} mismatch",
+        )
+
+
+def test_maskstats_pallas2_vmap_routes_to_batched(rng):
+    """vmap of the dispatch wrapper must produce batched-kernel results."""
+    import jax
+
+    from tti.kernels.maskstats import _stats2_vmappable
+
+    frames = [_random_problem(rng, d=16, hm=32, wm=40) for _ in range(2)]
+    protos = jnp.stack([f[0] for f in frames])
+    coefs = jnp.stack([f[1] for f in frames])
+    boxes = jnp.stack([f[2] for f in frames])
+    valid = jnp.stack([f[3] for f in frames])
+    got = jax.vmap(_stats2_vmappable)(protos, coefs, boxes, valid)
+    ref = jax.vmap(instance_mask_stats_xla)(protos, coefs, boxes, valid)
+    for key in ("m00", "m10", "m01", "col_any", "bottom"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
+            err_msg=f"{key} mismatch",
+        )

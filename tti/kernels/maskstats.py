@@ -230,6 +230,189 @@ def instance_mask_stats_pallas_batched(
     }
 
 
+def _stats2_kernel(protos_ref, coefs_ref, boxes_ref, m_ref, colany_ref,
+                   bottom_ref, *, row_tile: int, w: int, row_axis: int = 0):
+    """v2 grid step: ``row_tile`` proto rows, detections in LANES.
+
+    Differences from :func:`_stats_kernel` (the v1 layout), all driven by the
+    round-2/3 A/Bs where v1 lost to the dense XLA einsum at batch 128 (5273 vs
+    6029 frames/s e2e) despite avoiding its ~1.7 GB/step of mask-tensor HBM
+    traffic:
+
+    * protos stream in their NATIVE (spatial, nm) layout — no host-side
+      (B, nm, H, W) f32 transpose pass (a ~840 MB relayout round trip at
+      batch 128) and no lane-padding of W (v1 padded 160 -> 256 lanes, +60%
+      DMA); the flattened spatial dim is an exact multiple of the sublane
+      tile for any W.
+    * protos DMA in the model's own dtype (bf16 in production) — half of
+      v1's f32 stream; products are exact (bf16*bf16 fits f24) and
+      accumulation is f32 either way.
+    * detections live in the 128 LANES (v1 padded D to sublane multiples of
+      8 and reduced across lanes): one (row_tile*W, nm) @ (nm, 128) MXU
+      matmul per step and every VPU reduction runs at full lane width.
+    * validity is FOLDED INTO the coefficients outside the kernel
+      (coefs_t *= valid: zeroed coefficients give logits == 0, and the mask
+      test is strictly ``> 0`` — identical to the reference's ``& valid``),
+      so the kernel carries 3 operands instead of 5.
+
+    protos_ref: (row_tile * w, nm) VMEM — flattened spatial rows, native dtype
+    coefs_ref:  (nm, 128) VMEM f32     — transposed, valid-folded coefficients
+    boxes_ref:  (8, 128) VMEM f32      — rows 0..3 = x1, y1, x2, y2 per det
+    m_ref:      (8, 128) VMEM out      — rows 0..2 = m00, m10, m01
+    colany_ref: (w, 128) VMEM out      — 0/1 column occupancy (column-major)
+    bottom_ref: (w, 128) VMEM out      — bottom-most row per column, -1 if none
+    """
+    step = pl.program_id(row_axis)
+
+    @pl.when(step == 0)
+    def _init():
+        m_ref[:] = jnp.zeros_like(m_ref)
+        colany_ref[:] = jnp.zeros_like(colany_ref)
+        bottom_ref[:] = jnp.full_like(bottom_ref, -1.0)
+
+    s = row_tile * w
+    logits = jnp.dot(
+        protos_ref[:].astype(jnp.float32), coefs_ref[:],
+        preferred_element_type=jnp.float32,
+    )  # (S, 128)
+
+    # Spatial coordinates of each flattened row: x = s % w, y = row0 + s // w.
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    xs = (sidx % w).astype(jnp.float32)
+    ys = (jnp.int32(step * row_tile) + sidx // w).astype(jnp.float32)
+
+    x1, y1 = boxes_ref[0:1, :], boxes_ref[1:2, :]
+    x2, y2 = boxes_ref[2:3, :], boxes_ref[3:4, :]
+    inside = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+    mask = jnp.where((logits > 0.0) & inside, 1.0, 0.0)  # (S, 128)
+
+    m_ref[0:1, :] += jnp.sum(mask, axis=0, keepdims=True)
+    m_ref[1:2, :] += jnp.sum(mask * xs, axis=0, keepdims=True)
+    m_ref[2:3, :] += jnp.sum(mask * ys, axis=0, keepdims=True)
+
+    mask3 = mask.reshape(row_tile, w, 128)
+    colany_ref[:] = jnp.maximum(colany_ref[:], jnp.max(mask3, axis=0))
+    ymask = jnp.where(mask > 0.0, ys, -1.0).reshape(row_tile, w, 128)
+    bottom_ref[:] = jnp.maximum(bottom_ref[:], jnp.max(ymask, axis=0))
+
+
+def _stats2_prep(protos, coefs, boxes_grid, valid):
+    """Shared operand staging for the v2 kernel (see _stats2_kernel)."""
+    hm, wm, nm = protos.shape[-3:]
+    d, nm_c = coefs.shape[-2], coefs.shape[-1]
+    if nm_c != nm:
+        raise ValueError("coefs/protos nm mismatch")
+    if d > 128:
+        raise ValueError("v2 kernel holds detections in lanes (D <= 128)")
+    row_tile = ROW_TILE
+    h_pad = _round_up(hm, row_tile)
+    lead = protos.shape[:-3]
+    protos_f = protos.reshape(lead + (hm * wm, nm))
+    if h_pad != hm:  # pad spatial rows; y >= hm fails the box gate (y2 <= hm)
+        protos_f = jnp.pad(
+            protos_f, ((0, 0),) * len(lead) + ((0, (h_pad - hm) * wm), (0, 0))
+        )
+    coefs_t = jnp.swapaxes(
+        coefs.astype(jnp.float32) * valid.astype(jnp.float32)[..., None],
+        -1, -2,
+    )
+    coefs_t = jnp.pad(coefs_t, ((0, 0),) * len(lead) + ((0, 0), (0, 128 - d)))
+    boxes_t = jnp.swapaxes(boxes_grid.astype(jnp.float32), -1, -2)
+    boxes_t = jnp.pad(
+        boxes_t, ((0, 0),) * len(lead) + ((0, 4), (0, 128 - d))
+    )
+    return protos_f, coefs_t, boxes_t, row_tile, h_pad // row_tile, wm, d
+
+
+def _stats2_out(m, col_any, bottom, d, wm):
+    return {
+        "m00": m[..., 0, :d],
+        "m10": m[..., 1, :d],
+        "m01": m[..., 2, :d],
+        "col_any": jnp.swapaxes(col_any, -1, -2)[..., :d, :wm],
+        "bottom": jnp.swapaxes(bottom, -1, -2)[..., :d, :wm],
+    }
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def instance_mask_stats_pallas2(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array,
+    interpret: bool | None = None,
+) -> dict[str, Array]:
+    """v2 fused statistics, single frame. Contract of instance_mask_stats_xla."""
+    protos_f, coefs_t, boxes_t, row_tile, grid, wm, d = _stats2_prep(
+        protos, coefs, boxes_grid, valid
+    )
+    if interpret is None:  # Mosaic on TPU; interpreter elsewhere (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+    s = row_tile * wm
+    nm = protos.shape[-1]
+    m, col_any, bottom = pl.pallas_call(
+        partial(_stats2_kernel, row_tile=row_tile, w=wm),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((s, nm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nm, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wm, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wm, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((wm, 128), jnp.float32),
+            jax.ShapeDtypeStruct((wm, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(protos_f, coefs_t, boxes_t)
+    return _stats2_out(m, col_any, bottom, d, wm)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def instance_mask_stats_pallas2_batched(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array,
+    interpret: bool | None = None,
+) -> dict[str, Array]:
+    """Batched v2: grid (B, row_tiles), one frame's row block per step."""
+    protos_f, coefs_t, boxes_t, row_tile, grid, wm, d = _stats2_prep(
+        protos, coefs, boxes_grid, valid
+    )
+    if interpret is None:  # Mosaic on TPU; interpreter elsewhere (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+    b = protos.shape[0]
+    s = row_tile * wm
+    nm = protos.shape[-1]
+    m, col_any, bottom = pl.pallas_call(
+        partial(_stats2_kernel, row_tile=row_tile, w=wm, row_axis=1),
+        grid=(b, grid),
+        in_specs=[
+            pl.BlockSpec((None, s, nm), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nm, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 8, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wm, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wm, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, wm, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, wm, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(protos_f, coefs_t, boxes_t)
+    return _stats2_out(m, col_any, bottom, d, wm)
+
+
 def instance_mask_stats_xla(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array
 ) -> dict[str, Array]:
@@ -284,6 +467,26 @@ def _stats_pallas_vmap_rule(axis_size, in_batched, protos, coefs, boxes_grid, va
     return out, {k: True for k in out}
 
 
+@jax.custom_batching.custom_vmap
+def _stats2_vmappable(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """v2 per-frame stats whose vmap rule swaps in the batched-grid v2 kernel."""
+    return instance_mask_stats_pallas2(protos, coefs, boxes_grid, valid)
+
+
+@_stats2_vmappable.def_vmap
+def _stats2_vmap_rule(axis_size, in_batched, protos, coefs, boxes_grid, valid):
+    if not all(in_batched):
+        bcast = lambda a, b: a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        protos, coefs, boxes_grid, valid = (
+            bcast(a, b)
+            for a, b in zip((protos, coefs, boxes_grid, valid), in_batched)
+        )
+    out = instance_mask_stats_pallas2_batched(protos, coefs, boxes_grid, valid)
+    return out, {k: True for k in out}
+
+
 def instance_mask_stats(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array
 ) -> dict[str, Array]:
@@ -303,4 +506,6 @@ def instance_mask_stats(
             return instance_mask_stats_pallas(protos, coefs, boxes_grid, valid)
         if forced == "pallas_batched":
             return _stats_pallas_vmappable(protos, coefs, boxes_grid, valid)
+        if forced == "pallas2" and coefs.shape[-2] <= 128:
+            return _stats2_vmappable(protos, coefs, boxes_grid, valid)
     return instance_mask_stats_xla(protos, coefs, boxes_grid, valid)
