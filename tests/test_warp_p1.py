@@ -79,39 +79,30 @@ def test_pass1_kernel_full_chain_matches_apply(s2d):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_pipeline_pallas_p1_matches_default(monkeypatch):
-    """TTI_WARP_P1=pallas end-to-end (interpret mode on CPU): same detections
-    as the default XLA preprocess. Geometry must be BOTH stride-32 valid for
-    the model AND an odd integer decimation: 480px frames at imgsz 96 (k=5)."""
-    from tti.calib.io import CalibrationData
-    from tti.core.config import MeasureConfig, ModelConfig
-    from tti.model.yolo import create_model, init_variables
-    from tti.parallel.runtime import InspectionPipeline
+def test_kernel_k5_geometry():
+    """The kernel generalizes past k=3: 480px frames at imgsz 96 decimate at
+    k=5 (the parked kernel must stay correct for any odd k if it is ever
+    wired back in — see the module docstring's Mosaic post-mortem)."""
+    from tti.kernels.warp_p1 import warp_pass1_decimated
     from tti.preprocess.letterbox import letterbox_spec as _spec
 
     fh = fw = 480
-    assert decimation_stride(_spec(fh, fw, 96)) == 5
+    spec = _spec(fh, fw, 96)
+    k = decimation_stride(spec)
+    assert k == 5
     k480 = np.array([[937.14 * fw / 1280, 0, 636.15 * fw / 1280],
                      [0, 884.02 * fh / 960, 422.39 * fh / 960],
                      [0, 0, 1.0]])
-    calib = CalibrationData(K=k480, dist=DIST, rvec=np.zeros(3),
-                            tvec=np.array([0, 0, 0.2]))
-    model_cfg = ModelConfig(variant="n", num_classes=2, image_size=96)
-    variables = init_variables(create_model("n", nc=2), image_size=96)
+    m = build_small_undistort_map(k480, DIST, spec, unpadded_src=True)
+    warp = TwoPassWarp(m, (spec.new_h, spec.new_w))
+    w1, _ = warp.weights
     rng = np.random.default_rng(13)
     frames = rng.integers(0, 255, size=(2, fh, fw, 3), dtype=np.uint8)
-
-    def run():
-        pipe = InspectionPipeline(
-            model_cfg=model_cfg, variables=variables, frame_hw=(fh, fw),
-            calibration=calib, measure_cfg=MeasureConfig(),
-        )
-        assert isinstance(pipe.remap_xy, TwoPassWarp)
-        return pipe.process_batch(frames)
-
-    base = run()
-    monkeypatch.setenv("TTI_WARP_P1", "pallas")
-    pall = run()
-    np.testing.assert_allclose(pall.scores, base.scores, atol=1e-5)
-    np.testing.assert_allclose(pall.boxes_frame, base.boxes_frame, atol=1e-2)
-    assert (pall.valid == base.valid).all()
+    content = _reference_content(frames, spec, k, w1.dtype)
+    want = np.asarray(warp.apply(content))
+    i1 = warp_pass1_decimated(
+        jnp.asarray(frames), w1, k=k, off=(k - 1) // 2,
+        hs=spec.new_h, ws=spec.new_w, pad_value=warp.pad_value,
+    )
+    got = np.asarray(warp.apply_pass2_ycbo(i1, out_dtype=content.dtype))
+    np.testing.assert_allclose(got, want, atol=2e-5)

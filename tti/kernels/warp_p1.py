@@ -1,27 +1,45 @@
-"""Pallas TPU kernel: fused decimate + BGR->RGB + normalize + warp pass 1.
+"""Pallas pass-1 warp kernel — PARKED: not lowerable on current Mosaic.
 
-The production preprocess at the headline geometry (1080p -> 640 letterbox,
-odd integer decimation k=3) spends most of its time NOT in math but in moving
-the uint8 batch into the pass-1 einsum's preferred operand layout: the XLA
-step at batch 128 pays ~2.7 ms for the fused decimate+pack (an effective
-~86 GB/s on a ~800 GB/s part — 2-D-strided u8 sublane selects), ~0.34 ms for
-a u8 relayout copy, ~0.9 ms for the pass-1 einsum and ~0.17 ms for the BGR
-reverse (tools/profile_forward.py, STATUS r3 ledger).
+The design: fuse decimate + BGR->RGB + normalize + warp pass 1 into one
+kernel so the 1080p u8 batch is read once (only the 1/k rows the decimation
+keeps), the batch lands directly in MXU sublanes (M = 3B), and the XLA
+chain's ~2.7 ms decimate+pack fusion, ~0.34 ms u8 relayout, ~0.9 ms pass-1
+einsum and ~0.17 ms BGR reverse (tools/profile_forward.py at batch 128, v5e)
+collapse into ~1.1 ms of HBM-bound work.
 
-This kernel fuses the whole chain at the source:
+    grid step (r, o)  —  r: block of 8 decimated rows, o: pass-1 output cols
+      o == 0:  DMA each (row, channel)'s k-strided samples HBM->VMEM dense
+      every o: xb = packed[j] as (3B, ws) bf16, /255, -pad     <- letterbox
+               (3B, ws) @ w1[8r+j] (ws, wo_blk) on the MXU, f32 accumulate
+               out[8r+j, :, :, o-block] = (3, B, wo_blk) bf16
 
-    grid step y (one decimated output row):
-      DMA the ONE source row it needs (B, W*C) u8   <- contiguous, 1/k of rows
-      per RGB channel: lane-select the k-strided BGR samples,
-      convert bf16, /255, - pad_value                <- letterbox_content parity
-      (B, ws) @ w1[y] (ws, wo) on the MXU            <- pass 1, f32 accumulate
-      write i1 (1, 3, B, wo) bf16
+**Why it is parked** (every route measured/attempted on the v5e toolchain,
+jax 0.8.x Mosaic, 2026-08-18 — see STATUS.md round-3 ledger):
 
-so the frame batch is read ONCE (only the rows the decimation keeps), the
-batch dim lands directly in MXU sublanes (no transpose pass over HBM), and
-the einsum-operand relayout never exists. Output layout (y, c, b, o) feeds
-pass 2 as `einsum("ycbo,ovy->bvoc")` — the same batched matmul TwoPassWarp
-already runs, with lhs free dims (c, b) instead of (b, c).
+1. BlockSpec'ing the frame input one source row per grid step fails the
+   Mosaic block rule (last two block dims divisible by (8, 128) or equal to
+   the array dims): a (B, 1, W*3) block on a (B, 1080, W*3) array is sublane
+   block 1. Blocking 8 ROWS at a time cannot skip the 2/3 unneeded rows.
+2. Manual full-row DMAs (memory_space=ANY + make_async_copy) lower fine,
+   but the in-VMEM channel/column select is a stride-3k lane slice and
+   Mosaic's `vector.extract_strided_slice` is restricted to strides [1, 2).
+3. Doing the select inside the DMA descriptor: `pl.Slice(start, ws, 3k)`
+   on a ref raises "Strided slices of references are unsupported".
+4. Expressing the stride as an integer index on a free (B, H, W/k, 3k)
+   reshape: HBM memrefs are tiled (8, 128) on the trailing dims, so Mosaic
+   requires the trailing-dim slice be 128-aligned ("Slice shape along
+   dimension 3 must be aligned to tiling (128), but is 1") — and the tiled
+   view would 128-pad the 3k lane groups ~14x if materialized.
+5. MXU-based selection (one-hot s8 matmul, dense or block-diagonal) costs
+   ~1 TFLOP/step at the headline geometry — 2.6 ms at peak int8, more than
+   the 2.7 ms XLA pack it would replace; the block-diagonal variant
+   degenerates into ~16k irregular tiny matmuls per step.
+
+The kernel below is the furthest-along variant (manual per-channel DMAs via
+the grouped-lane view, route 4). It is numerics-correct and fully tested in
+Pallas interpret mode (tests/test_warp_p1.py) and is kept as the ready
+implementation for the day Mosaic gains strided DMA or VPU slices; it is
+NOT wired into the runtime (tti/parallel/runtime.py preprocess notes this).
 
 Numerics contract (tests/test_warp_p1.py): identical op order to the XLA path
 — u8 -> bf16, * (1/255) in bf16, - pad in bf16, f32-accumulated dot — so
@@ -40,36 +58,71 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+ROWS_PER_BLOCK = 8  # decimated rows per grid step (out-block sublane rule)
 
-def _p1_kernel(frames_ref, w1_ref, out_ref, *, k: int, off: int, ws: int,
-               pad_value: float, bgr_flip: bool):
-    """One grid step: one decimated source row for the whole batch.
 
-    frames_ref: (B, 1, W*C) VMEM u8 — the one source row this step reads
-    w1_ref:     (1, ws, wo) VMEM — this row's pass-1 kernels (bf16 on TPU,
-                f32 on CPU, matching TwoPassWarp's weight dtype)
-    out_ref:    (1, 3, B, wo) VMEM out — i1 in (y, c, b, o) order
+def _p1_kernel(frames_hbm, w1_ref, out_ref, packed, sems, *, k: int,
+               off: int, ws: int, pad_value: float, bgr_flip: bool):
+    """Grid step (r, o): 8 decimated source rows x one pass-1 column block.
+
+    frames_hbm: (B, H, W*C) u8, memory_space=ANY (stays in HBM)
+    w1_ref:     (8, ws, wo_blk) VMEM — this row block's pass-1 kernels
+    out_ref:    (8, 3, B, wo_blk) VMEM out — i1 in (y, c, b, o) order
+    packed:     (8, 3, B, ws) u8 VMEM scratch — decimated samples, kept
+                across the o steps of one r block
+    sems:       (8, 3) DMA semaphores, one per (row, channel) copy
+
+    The column decimation + BGR flip happen INSIDE the DMA descriptors:
+    each (row j, channel c) copy reads the k-strided samples of one BGR
+    channel (1-byte elements, byte stride 3k) and lands them dense in
+    packed[j, c]. HBM-side the stride (9 at the headline geometry) is well
+    under a burst, so each row is streamed ~once per channel; that ~3x read
+    amplification still only matches what the XLA fusion reads, while the
+    VPU never touches a select (Mosaic's vector strided-slice is stride<2
+    only — an in-kernel lane select is not lowerable on this toolchain).
     """
-    b = frames_ref.shape[0]
-    row = frames_ref[:, 0, :]  # (B, W*C) u8
-    w1y = w1_ref[0]  # (ws, wo)
-    wdt = w1y.dtype
+    r = pl.program_id(0)
+    bsz = packed.shape[2]
+
+    def chan_dma(j: int, c: int):
+        src_row = off + k * (ROWS_PER_BLOCK * r + j)
+        c_src = (2 - c) if bgr_flip else c  # BGR frames -> RGB content
+        # frames_hbm is (B, H, W*3 // (3k), 3k): one lane group per kept
+        # column; the sample of channel c_src sits at intra-group byte
+        # 3*off + c_src. Integer indices (squeezes) express the strided
+        # read — Mosaic rejects pl.Slice strides in DMAs, but a squeezed
+        # trailing dim lowers to the same strided descriptor.
+        return pltpu.make_async_copy(
+            frames_hbm.at[:, src_row, pl.ds(0, ws), 3 * off + c_src],
+            packed.at[j, c],
+            sems.at[j, c],
+        )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _fetch():  # once per row block: strided channel DMAs
+        for j in range(ROWS_PER_BLOCK):
+            for c in range(3):
+                chan_dma(j, c).start()
+        for j in range(ROWS_PER_BLOCK):
+            for c in range(3):
+                chan_dma(j, c).wait()
+
+    w1b = w1_ref[...]  # (8, ws, wo_blk) — bf16 on TPU, f32 on CPU
+    wdt = w1b.dtype
     inv255 = jnp.asarray(1.0 / 255.0, wdt)
     pad = jnp.asarray(pad_value, wdt)
-    for c in range(3):  # output channel (RGB)
-        c_src = (2 - c) if bgr_flip else c  # BGR frames -> RGB content
-        start = 3 * off + c_src  # flat lane of (W=off+k*wo, channel c_src)
-        xc = jax.lax.slice(
-            row, (0, start), (b, start + 3 * k * (ws - 1) + 1), (1, 3 * k)
-        )  # (B, ws) u8 — the decimated samples of this row, one channel
+    for j in range(ROWS_PER_BLOCK):
         # Parity with letterbox_content + TwoPassWarp.apply: u8 -> wdt,
-        # * 1/255 (wdt), - pad (wdt), then f32-accumulated matmul.
-        xb = xc.astype(wdt) * inv255 - pad
+        # * 1/255 (wdt), - pad (wdt), then f32-accumulated matmul. Mosaic has
+        # no unsigned->float cast; going through int32 is bit-exact for 0..255
+        # (8-bit integers fit bf16's 8 significand bits).
+        xb = (packed[j].reshape(3 * bsz, ws).astype(jnp.int32).astype(wdt)
+              * inv255 - pad)
         acc = jax.lax.dot_general(
-            xb, w1y, (((1,), (0,)), ((), ())),
+            xb, w1b[j], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (B, wo) f32
-        out_ref[0, c] = acc.astype(out_ref.dtype)
+        )  # (3B, wo_blk) f32
+        out_ref[j] = acc.reshape(3, bsz, -1).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -97,19 +150,36 @@ def warp_pass1_decimated(
         raise ValueError("expected 3-channel frames")
     if off + k * (hs - 1) >= h or 3 * off + 3 * k * (ws - 1) + 2 >= w * 3:
         raise ValueError("decimation geometry exceeds the frame")
+    if hs % ROWS_PER_BLOCK:
+        raise ValueError(
+            f"warp_p1 needs hs % {ROWS_PER_BLOCK} == 0, got {hs}"
+        )
     wo = w1.shape[2]
-    flat = frames_u8.reshape(bsz, h, w * 3)
-    grid = (hs,)
+    # Column-block the weights/output so the per-step VMEM stays small
+    # (weights dominate: 8*ws*wo_blk). 128 = one lane tile.
+    wo_blk = 128 if wo % 128 == 0 else wo
+    if (w * 3) % (3 * k):
+        raise ValueError("frame width must be a multiple of k")
+    # Free row-major reshape: one 3k-byte lane group per kept source column,
+    # so the kernel's channel DMAs index (not stride) into the group.
+    flat = frames_u8.reshape(bsz, h, w // k, 3 * k)
+    grid = (hs // ROWS_PER_BLOCK, wo // wo_blk)
     return pl.pallas_call(
         functools.partial(_p1_kernel, k=k, off=off, ws=ws,
                           pad_value=pad_value, bgr_flip=bgr_flip),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bsz, 1, w * 3), lambda i: (0, off + k * i, 0)),
-            pl.BlockSpec((1, ws, wo), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # manual row DMAs
+            pl.BlockSpec((ROWS_PER_BLOCK, ws, wo_blk), lambda r, o: (r, 0, o)),
         ],
-        out_specs=pl.BlockSpec((1, 3, bsz, wo), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (ROWS_PER_BLOCK, 3, bsz, wo_blk), lambda r, o: (r, 0, 0, o)
+        ),
         out_shape=jax.ShapeDtypeStruct((hs, 3, bsz, wo), w1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ROWS_PER_BLOCK, 3, bsz, ws), jnp.uint8),
+            pltpu.SemaphoreType.DMA((ROWS_PER_BLOCK, 3)),
+        ],
         # Mosaic is the TPU path; elsewhere (CPU tests) run the interpreter.
         interpret=jax.default_backend() != "tpu",
     )(flat, w1)

@@ -279,38 +279,24 @@ class InspectionPipeline:
                 bgr_to_rgb, letterbox_content, normalize,
             )
 
-            from tti.preprocess.letterbox import decimation_stride
-
-            k = decimation_stride(self.spec)
-            if (os.environ.get("TTI_WARP_P1") == "pallas"
-                    and self.remap_xy.col_expand is None
-                    and self.remap_xy.block is None
-                    and k is not None):
-                # Fused Pallas pass 1 (tti.kernels.warp_p1): one kernel reads
-                # only the decimated source rows, lands the batch in MXU
-                # sublanes and runs pass 1 in place — the XLA decimate+pack
-                # fusion (~2.7 ms at batch 128), its u8 relayout copy, the
-                # BGR reverse and the pass-1 einsum all collapse into it.
-                from tti.kernels.warp_p1 import warp_pass1_decimated
-
-                w1 = (warp_weights or self.remap_xy.weights)[0]
-                i1 = warp_pass1_decimated(
-                    frames_u8, w1, k=k, off=(k - 1) // 2,
-                    hs=self.spec.new_h, ws=self.spec.new_w,
-                    pad_value=self.remap_xy.pad_value,
-                )
-                out = self.remap_xy.apply_pass2_ycbo(
-                    i1, warp_weights, out_dtype=pre_dtype)
+            # NOTE: a fused Pallas pass-1 kernel (decimate+BGR+normalize+
+            # matmul, tti/kernels/warp_p1.py) was built and is numerics-
+            # tested, but is NOT wired here: the k-strided byte select it
+            # needs is inexpressible on current Mosaic (vector strided
+            # slices are stride<2 only, DMA ref slices reject strides, and
+            # HBM memref tiling 128-pads a (..., 3k) lane view), and every
+            # MXU formulation of the select costs more than the ~2.7 ms XLA
+            # pack it would replace. See the kernel docstring for the full
+            # measured post-mortem.
+            if self.remap_xy.col_expand is not None:
+                # Rows by contiguous strided slice; columns inside pass 1.
+                k, off, _ = self.remap_xy.col_expand
+                rows = frames_u8[:, off::k, :, :][:, : self.spec.new_h]
+                content = normalize(bgr_to_rgb(rows), pre_dtype)
             else:
-                if self.remap_xy.col_expand is not None:
-                    # Rows by contiguous strided slice; columns inside pass 1.
-                    k, off, _ = self.remap_xy.col_expand
-                    rows = frames_u8[:, off::k, :, :][:, : self.spec.new_h]
-                    content = normalize(bgr_to_rgb(rows), pre_dtype)
-                else:
-                    content = letterbox_content(frames_u8, self.spec, pre_dtype,
-                                                decimate=True)
-                out = self.remap_xy.apply(content, warp_weights)
+                content = letterbox_content(frames_u8, self.spec, pre_dtype,
+                                            decimate=True)
+            out = self.remap_xy.apply(content, warp_weights)
             if want_s2d and not self.remap_xy.s2d_out:
                 from tti.model.yolo import space_to_depth2
 
