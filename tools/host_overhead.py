@@ -1,0 +1,162 @@
+"""Host-side cost accounting for the multi-stream feed path (config 5).
+
+VERDICT r2 "missing #4": the 4-stream sustained number measured on this
+relay-tethered box (~3.8 frames/s) is bounded by the axon tunnel's ~20 MB/s
+host->device link, not by the design. This tool turns that argument into
+per-stage measurements, all of which are device-independent:
+
+  1. ring snapshot  — `MultiStreamRunner.assemble_batch` (the C++ seqlock
+     `gather_batch` copy of one freshest frame per stream into a contiguous
+     (S, H, W, 3) batch); pure host memcpy, measured directly.
+  2. host postproc  — `_finish`'s per-stream smoothing tree_map, measured
+     with synthetic outputs (no device).
+  3. H2D upload     — arithmetic: batch bytes / link bandwidth, tabulated
+     for this box's measured tunnel (~20 MB/s) and a production PCIe gen3
+     x16 host (~12 GB/s effective) / gen4 (~24 GB/s).
+  4. device compute — taken from the committed bench (see STATUS.md).
+
+The conclusion the numbers support: on any direct-attach host, stages 1-3
+sum to well under the device step, so the double-buffered feed
+(`step_pipelined`) keeps the TPU the binding resource; only the tunnel
+inverts that here.
+
+Run: python tools/host_overhead.py [--streams 4] [--iters 50]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_ring_snapshot(streams: int, hw: tuple[int, int], iters: int) -> dict:
+    from tti.app.sources import SyntheticSource
+    from tti.parallel.streams import StreamWorker
+    from tti.native import gather_batch
+
+    h, w = hw
+    workers = []
+    for i in range(streams):
+        sw = StreamWorker(SyntheticSource(height=h, width=w, seed=i),
+                          (h, w, 3))
+        # Fill the ring synchronously (no capture thread: deterministic, and
+        # the 1-vCPU host would otherwise contend with the timing loop).
+        ok, frame = sw.source.read()
+        assert ok
+        sw.ring.push(frame)
+        workers.append(sw)
+    batch = np.zeros((streams, h, w, 3), np.uint8)
+    rings = [sw.ring for sw in workers]
+    gather_batch(rings, batch)  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gather_batch(rings, batch)
+    dt = (time.perf_counter() - t0) / iters
+    nbytes = batch.nbytes
+    return {
+        "snapshot_ms": dt * 1e3,
+        "snapshot_GBps": nbytes / dt / 1e9,
+        "batch_MB": nbytes / 1e6,
+    }
+
+
+def time_host_postproc(streams: int, iters: int) -> dict:
+    """The smoothing tree_map over synthetic measurement pytrees (the only
+    host math in _finish)."""
+    import jax
+
+    from tti.measure.pipeline import (
+        FrameMeasurement, init_measure_state, smooth_measurement,
+    )
+
+    jax.config.update("jax_platforms", "cpu")
+    meas = FrameMeasurement(
+        edge_distance_mm=np.float32(np.nan),
+        stitch_width_mm=np.float32(np.nan),
+        raw_edge_mm=np.float32(4.2),
+        raw_width_mm=np.float32(3.3),
+        n_dist=np.int32(5), n_width=np.int32(5), n_stitches=np.int32(7),
+        fabric_detected=np.bool_(True),
+    )
+    states = [init_measure_state() for _ in range(streams)]
+    outs = jax.tree_util.tree_map(
+        lambda x: np.stack([x] * streams), meas)
+    # warm
+    for i in range(streams):
+        per = jax.tree_util.tree_map(lambda x: x[i], outs)
+        states[i], _ = smooth_measurement(states[i], per)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for i in range(streams):
+            per = jax.tree_util.tree_map(lambda x: x[i], outs)
+            states[i], _ = smooth_measurement(states[i], per)
+    dt = (time.perf_counter() - t0) / iters
+    return {"postproc_ms": dt * 1e3}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--device-step-ms", type=float, default=6.0,
+                    help="assumed device step for an S-frame batch (the "
+                         "measured small-batch step sits at the ~3-6 ms "
+                         "dispatch floor; batch 128 amortizes to 0.17 "
+                         "ms/frame — STATUS.md)")
+    args = ap.parse_args()
+
+    snap = time_ring_snapshot(args.streams, (args.height, args.width),
+                              args.iters)
+    post = time_host_postproc(args.streams, args.iters)
+
+    batch_mb = snap["batch_MB"]
+    upload = {
+        "h2d_ms_relay_20MBps": batch_mb / 20.0 * 1e3,  # MB / (MB/s) -> ms
+        "h2d_ms_pcie3_12GBps": batch_mb / 12_000.0 * 1e3,
+        "h2d_ms_pcie4_24GBps": batch_mb / 24_000.0 * 1e3,
+    }
+    # step_pipelined double-buffers: snapshot+postproc, the H2D, and the
+    # device step overlap, so the sustained batch period is the SLOWEST
+    # stage, not the sum. Report that bound per link.
+    host_ms = snap["snapshot_ms"] + post["postproc_ms"]
+    bounds = {
+        link: max(host_ms, h2d, args.device_step_ms)
+        for link, h2d in (
+            ("relay", upload["h2d_ms_relay_20MBps"]),
+            ("pcie3", upload["h2d_ms_pcie3_12GBps"]),
+            ("pcie4", upload["h2d_ms_pcie4_24GBps"]),
+        )
+    }
+    out = {
+        "streams": args.streams,
+        **{k: round(v, 4) for k, v in snap.items()},
+        **{k: round(v, 4) for k, v in post.items()},
+        **{k: round(v, 4) for k, v in upload.items()},
+        "host_stages_ms": round(host_ms, 4),
+        "device_step_ms_assumed": args.device_step_ms,
+        **{
+            f"sustained_fps_{link}": round(args.streams / ms * 1e3, 2)
+            for link, ms in bounds.items()
+        },
+        "binding_stage_pcie3": (
+            "host(snapshot)" if host_ms == bounds["pcie3"]
+            else "h2d" if upload["h2d_ms_pcie3_12GBps"] == bounds["pcie3"]
+            else "device"
+        ),
+    }
+    json.dump(out, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()
