@@ -176,3 +176,34 @@ def test_lazy_decode_matches_dense(seed):
     np.testing.assert_allclose(
         np.asarray(dense.coefs)[v], np.asarray(lazy.coefs)[v], rtol=0, atol=1e-5
     )
+
+
+def test_approx_topk_matches_exact_when_sparse():
+    """approx_topk=True (TTI_APPROX_TOPK path) must equal the exact NMS when
+    fewer than pre_topk anchors clear conf_thresh — the production regime
+    (telemetry counts the crowded frames where recall could drop)."""
+    rng = np.random.default_rng(11)
+    n, nc = 5040, 2
+    boxes = np.zeros((n, 4), np.float32)
+    centers = rng.uniform(50, 600, size=(n, 2))
+    wh = rng.uniform(10, 60, size=(n, 2))
+    boxes[:, :2] = centers - wh / 2
+    boxes[:, 2:] = centers + wh / 2
+    # 60 real candidates, the rest far below threshold.
+    scores = rng.uniform(0.0, 0.05, size=n).astype(np.float32)
+    hot = rng.choice(n, size=60, replace=False)
+    scores[hot] = rng.uniform(0.3, 0.99, size=60).astype(np.float32)
+    classes = rng.integers(0, nc, size=n)
+    probs = np.full((n, nc), 1e-6, np.float32)
+    probs[np.arange(n), classes] = scores
+    coefs = rng.normal(size=(n, 32)).astype(np.float32)
+
+    kw = dict(conf_thresh=0.20, iou_thresh=0.25, max_det=200, pre_topk=256)
+    exact = batched_nms(boxes[None], probs[None], coefs[None], **kw)
+    approx = batched_nms(boxes[None], probs[None], coefs[None],
+                         approx_topk=True, **kw)
+    assert (np.asarray(exact.valid) == np.asarray(approx.valid)).all()
+    np.testing.assert_allclose(np.asarray(exact.scores),
+                               np.asarray(approx.scores))
+    np.testing.assert_allclose(np.asarray(exact.boxes),
+                               np.asarray(approx.boxes))

@@ -361,6 +361,11 @@ class InspectionPipeline:
                 iou_thresh=mcfg.iou_thresh,
                 max_det=mcfg.max_detections,
                 pre_topk=mcfg.nms_pre_topk,
+                # Approximate candidate top-k (TPU partial reduce, recall
+                # 0.99) instead of the full anchor sort; trades rare missed
+                # candidates on >pre_topk-crowded frames for tail latency.
+                # Opt-in pending the TPU A/B (exactness is the default).
+                approx_topk=os.environ.get("TTI_APPROX_TOPK") == "1",
             )
             n_candidates = jnp.sum(
                 jnp.max(probs, axis=-1) > mcfg.conf_thresh, axis=-1

@@ -109,6 +109,7 @@ def _nms_single(
     max_det: int,
     pre_topk: int,
     class_aware: bool,
+    approx_topk: bool = False,
 ) -> Detections:
     scores_all = jnp.max(probs, axis=-1)
     classes_all = jnp.argmax(probs, axis=-1).astype(jnp.int32)
@@ -117,7 +118,18 @@ def _nms_single(
     ranked = jnp.where(conf_ok, scores_all, -1.0)
 
     k = min(pre_topk, ranked.shape[0])
-    top_scores, top_idx = jax.lax.top_k(ranked, k)
+    if approx_topk and k < ranked.shape[0]:
+        # TPU-native partial top-k (tpu.PartialReduce) instead of the full
+        # anchor sort. NOT exact: recall_target bounds the chance of missing
+        # a true top-k candidate, which matters only when more than
+        # ~pre_topk anchors clear conf_thresh (telemetry counts those
+        # frames). Opt-in: the deployment default preserves the torch-oracle
+        # keep-set bit-for-bit.
+        top_scores, top_idx = jax.lax.approx_max_k(
+            ranked, k, recall_target=0.99
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(ranked, k)
     return _greedy_suppress(
         boxes[top_idx], top_scores, classes_all[top_idx], coefs[top_idx],
         top_scores > 0.0, iou_thresh, max_det, class_aware,
@@ -126,7 +138,8 @@ def _nms_single(
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_topk", "class_aware"),
+    static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_topk",
+                     "class_aware", "approx_topk"),
 )
 def batched_nms(
     boxes: Array,
@@ -137,6 +150,7 @@ def batched_nms(
     max_det: int = 200,
     pre_topk: int = 512,
     class_aware: bool = True,
+    approx_topk: bool = False,
 ) -> Detections:
     """Batched greedy NMS: (B, A, 4) boxes + (B, A, nc) probs + (B, A, nm) coefs
     -> Detections with fixed (B, max_det) shapes. Defaults mirror the reference
@@ -148,6 +162,7 @@ def batched_nms(
         max_det=max_det,
         pre_topk=pre_topk,
         class_aware=class_aware,
+        approx_topk=approx_topk,
     )
     return jax.vmap(fn)(boxes, probs, coefs)
 
