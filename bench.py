@@ -126,7 +126,10 @@ def main() -> None:
             frame_hw=(frame_h, frame_w), calibration=calib, model=model_b,
         )
         dual = DualPipeline(pipeline, second)
-        # Resident device frames: host->device bandwidth is not the metric.
+        # Resident device frames IN THE DUAL PROGRAM'S LAYOUT: the single
+        # pipeline's buffers can be laid out differently, and feeding those
+        # here would hide a per-iteration relayout copy in the timed loop.
+        frames_dev = dual.prepare_frames(frames)
         outs = dual._step(pipeline.variables, second.variables, frames_dev)
         float(jnp.sum(outs[0]["dets"].scores) + jnp.sum(outs[1]["dets"].scores))
         t0 = time.perf_counter()

@@ -91,7 +91,10 @@ chown -R "${SERVICE_USER}" "${INSTALL_DIR}"
 
 # --- kiosk-host niceties (reference auto_run.sh §8 + §12) ---------------------
 # Power button -> clean poweroff (operators have no keyboard on the line).
-if command -v systemctl >/dev/null 2>&1 && [ -d /etc/acpi ] || command -v acpid >/dev/null 2>&1; then
+# Any systemd host qualifies: the block itself installs acpid and creates
+# /etc/acpi (the old `a && b || c` condition short-circuited to a no-op on
+# fresh images, which are exactly the hosts that need it).
+if command -v systemctl >/dev/null 2>&1; then
     apt-get install -y -qq acpid 2>/dev/null || true
     mkdir -p /etc/acpi/events
     cat > /etc/acpi/events/powerbtn <<'ACPIEOF'

@@ -213,3 +213,45 @@ def test_undistorting_pipeline_zeroes_measurement_distortion():
     assert float(jnp.abs(rectified.cam.dist).max()) == 0.0
     assert float(jnp.abs(raw.cam.dist).max()) > 0.0
     assert rectified.remap_xy is not None and raw.remap_xy is None
+
+
+def test_depth_to_space2_inverts_s2d(rng):
+    from tti.model.yolo import depth_to_space2, space_to_depth2
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 3)).astype(np.float32))
+    assert (np.asarray(depth_to_space2(space_to_depth2(x))) ==
+            np.asarray(x)).all()
+
+
+def test_dual_pipeline_mixed_s2d_input(rng):
+    """The bench config-4 construction: primary through the weight-transform
+    branch (s2d_input follows the s2d warp default), secondary with an
+    explicitly-passed RAW model. The dual step must hand each model the input
+    form it expects (caught live: a 12-channel blocked buffer hit the raw
+    stem's 3-channel conv). Each output must equal its single-pipeline run."""
+    cfg = ModelConfig(variant="n", num_classes=2, image_size=IMGSZ,
+                      dtype="float32", max_detections=16)
+    variables = init_variables(create_model("n", nc=2), image_size=IMGSZ)
+    primary = InspectionPipeline(
+        model_cfg=cfg, variables=variables, frame_hw=FRAME_HW,
+        calibration=_calib(),
+    )
+    model2 = create_model("n", nc=2)
+    vars2 = init_variables(model2, image_size=IMGSZ, seed=7)
+    second = InspectionPipeline(
+        model_cfg=cfg, variables=vars2, frame_hw=FRAME_HW,
+        calibration=_calib(), model=model2,
+    )
+    assert getattr(primary.model, "s2d_input", False) != getattr(
+        second.model, "s2d_input", False)
+    dual = DualPipeline(primary, second)
+    frames = rng.integers(0, 255, size=(1, *FRAME_HW, 3), dtype=np.uint8)
+    outs_a, outs_b = dual.process_batch(frames)
+    solo_a = primary.process_batch(frames)
+    solo_b = second.process_batch(frames)
+    np.testing.assert_allclose(np.asarray(outs_a.scores),
+                               np.asarray(solo_a.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_b.scores),
+                               np.asarray(solo_b.scores), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_b.boxes_frame),
+                               np.asarray(solo_b.boxes_frame), atol=1e-2)

@@ -77,7 +77,10 @@ def time_host_postproc(streams: int, iters: int) -> dict:
         FrameMeasurement, init_measure_state, smooth_measurement,
     )
 
-    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (pinned-plugin hosts)
     meas = FrameMeasurement(
         edge_distance_mm=np.float32(np.nan),
         stitch_width_mm=np.float32(np.nan),

@@ -141,6 +141,16 @@ class ModelConfig:
     mask_stride: int = 4  # proto grid = input/mask_stride; 2 = hi-res proto
     # head (tti extension — the reference's fixed export is always /4)
 
+    def __post_init__(self) -> None:
+        # Validate here, not only in create_model: the runtime's
+        # weight-transform branch constructs YOLOv8Seg directly, and a bad
+        # TTI_MASK_STRIDE would otherwise surface as a KeyError mid-trace.
+        if self.mask_stride not in (2, 4):
+            raise ValueError(
+                f"mask_stride (TTI_MASK_STRIDE) must be 2 or 4, "
+                f"got {self.mask_stride}"
+            )
+
     @staticmethod
     def from_env(env: Mapping[str, str]) -> "ModelConfig":
         return ModelConfig(

@@ -506,6 +506,15 @@ def instance_mask_stats(
             return instance_mask_stats_pallas(protos, coefs, boxes_grid, valid)
         if forced == "pallas_batched":
             return _stats_pallas_vmappable(protos, coefs, boxes_grid, valid)
-        if forced == "pallas2" and coefs.shape[-2] <= 128:
+        if forced == "pallas2":
+            if coefs.shape[-2] > 128:
+                # The v2 kernel keeps all detections in one lane tile; a
+                # silent XLA fallback here would let an A/B record a number
+                # for a kernel that never ran.
+                raise ValueError(
+                    "TTI_MASKSTATS=pallas2 supports at most 128 detections "
+                    f"(got {coefs.shape[-2]}); lower max_stats_dets or use "
+                    "TTI_MASKSTATS=pallas_batched"
+                )
             return _stats2_vmappable(protos, coefs, boxes_grid, valid)
     return instance_mask_stats_xla(protos, coefs, boxes_grid, valid)

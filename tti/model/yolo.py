@@ -173,6 +173,16 @@ def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact inverse of space_to_depth2: (B, H/2, W/2, 4C) -> (B, H, W, C)
+    (pure permutation — depth_to_space2(space_to_depth2(x)) == x bitwise)."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h2 * 2, w2 * 2, c)
+
+
 class YOLOv8Seg(nn.Module):
     """Full segmentation network: backbone + PAN neck + Segment head.
 

@@ -564,11 +564,16 @@ class DualPipeline:
         from tti.preprocess.warp2pass import TwoPassWarp
 
         if (isinstance(primary.remap_xy, TwoPassWarp)
-                and isinstance(secondary.remap_xy, TwoPassWarp)):
-            # Same lens + geometry -> identical warp weights; the secondary's
-            # copy would be dead HBM (only the primary's preprocess runs in
-            # the dual step). Rebuild its standalone step so the old closure
-            # releases the duplicate device tensors.
+                and isinstance(secondary.remap_xy, TwoPassWarp)
+                and primary.remap_xy.s2d_out == secondary.remap_xy.s2d_out):
+            # Same lens + geometry + output blocking -> identical warp
+            # weights; the secondary's copy would be dead HBM (only the
+            # primary's preprocess runs in the dual step). Rebuild its
+            # standalone step so the old closure releases the duplicate
+            # device tensors. When s2d_out differs (e.g. a raw explicit
+            # model beside the transformed default), the secondary keeps its
+            # own weights — its standalone step must emit the form its model
+            # consumes.
             secondary.remap_xy = primary.remap_xy
             secondary._step = secondary._build_step()
         self.primary = primary
@@ -577,12 +582,24 @@ class DualPipeline:
 
     def _build(self):
         warp_w = self.primary.warp_weights
+        # The shared buffer is the PRIMARY's preprocess output, which is
+        # s2d-blocked iff primary.model.s2d_input (the default since the
+        # s2d-emitting warp). A secondary whose model disagrees (e.g. an
+        # explicitly-passed raw model) gets the exact permutation inverse —
+        # both forms carry identical values.
+        s2d_a = getattr(self.primary.model, "s2d_input", False)
+        s2d_b = getattr(self.secondary.model, "s2d_input", False)
 
         def step(vars_a, vars_b, frames_u8, ww):
             x = self.primary.preprocess(frames_u8, ww)
+            xb = x
+            if s2d_a != s2d_b:
+                from tti.model.yolo import depth_to_space2, space_to_depth2
+
+                xb = depth_to_space2(x) if s2d_a else space_to_depth2(x)
             return (
                 self.primary.postprocess_chain(vars_a, x),
-                self.secondary.postprocess_chain(vars_b, x),
+                self.secondary.postprocess_chain(vars_b, xb),
             )
 
         # Same auto-input-layout treatment as InspectionPipeline._build_step
@@ -620,6 +637,13 @@ class DualPipeline:
                       frames_np.shape)[1],
         )
         return run
+
+    def prepare_frames(self, frames_u8: np.ndarray) -> Array:
+        """Place a frame batch in the DUAL program's chosen input layout —
+        the single-pipeline program can pick a different one, in which case
+        feeding its buffers here would pay an in-loop relayout copy."""
+        prep = getattr(self._step, "prepare_frames", None)
+        return prep(frames_u8) if prep is not None else jnp.asarray(frames_u8)
 
     def process_batch(self, frames_bgr_u8: np.ndarray) -> tuple[PipelineOutputs, PipelineOutputs]:
         outs_a, outs_b = self._step(
