@@ -55,3 +55,28 @@ def test_cli_eval_smoke_mask_stride2(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "box:" in out and "mask(full-res):" in out
     assert "nan" not in out.lower()
+
+
+def test_load_pipeline_adopts_checkpoint_arch(tmp_path):
+    """Pointing weights at a checkpoint whose sidecar declares a different
+    architecture (here the stride-2 hi-res proto head) must reconfigure the
+    model instead of dying on a shape mismatch at load — the sidecar is
+    authoritative about the architecture the checkpoint was trained with."""
+    from tti.cli.__main__ import _load_pipeline
+    from tti.core.config import AppConfig, ModelConfig, RoiConfig
+    from tti.model.convert import save_checkpoint
+    from tti.model.yolo import create_model, init_variables
+
+    model = create_model("n", nc=2, mask_stride=2)
+    variables = init_variables(model, image_size=64)
+    ckpt = str(tmp_path / "s2.msgpack")
+    save_checkpoint(variables, ckpt, metadata={
+        "variant": "n", "num_classes": 2, "mask_stride": 2})
+
+    cfg = AppConfig(  # config says stride 4 — the checkpoint wins
+        model=ModelConfig(weights=ckpt, image_size=64, mask_stride=4),
+        roi=RoiConfig(enabled=False),
+    )
+    pipe = _load_pipeline(cfg, frame_hw=(64, 64))
+    assert pipe.model.mask_stride == 2
+    assert pipe.model_cfg.mask_stride == 2

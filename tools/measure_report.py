@@ -362,16 +362,24 @@ def run_pipeline(frames: np.ndarray, weights: str, *, undistort: bool,
 
     from tti.calib.io import CalibrationData
     from tti.core.config import MeasureConfig, ModelConfig, RoiConfig
-    from tti.model.convert import load_checkpoint
+    from tti.model.convert import checkpoint_metadata, load_checkpoint
     from tti.model.yolo import create_model, init_variables
     from tti.parallel.runtime import InspectionPipeline
 
-    model = create_model("n", nc=2,
+    # Architecture knobs come from the checkpoint's own sidecar so the deploy
+    # checkpoint (hi-res stride-2 proto head, TRAINING.md round 3) runs as
+    # trained; absent sidecars fall back to the Ultralytics defaults.
+    meta = checkpoint_metadata(weights)
+    variant = meta.get("variant", "n")
+    nc = meta.get("num_classes", 2)
+    mask_stride = meta.get("mask_stride", 4)
+    model = create_model(variant, nc=nc, mask_stride=mask_stride,
                          dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     template = init_variables(model, image_size=64)
     variables = load_checkpoint(weights, template)
     calib = CalibrationData(K=REF_K, dist=REF_DIST, rvec=REF_RVEC, tvec=REF_TVEC)
-    cfg = ModelConfig(variant="n", num_classes=2, image_size=imgsz, dtype=dtype)
+    cfg = ModelConfig(variant=variant, num_classes=nc, image_size=imgsz,
+                      dtype=dtype, mask_stride=mask_stride)
     pipe = InspectionPipeline(
         model_cfg=cfg, variables=variables, frame_hw=FRAME_HW, calibration=calib,
         model=model, measure_cfg=MeasureConfig(), undistort=undistort,
@@ -488,7 +496,9 @@ def main() -> None:
         "  calibration: camera_calibration.json + extrinsics.json), constructed on",
         "  the fabric plane in world mm and rendered through the exact physical",
         f"  camera model (tools/measure_report.py). Centre scale {scale:.4f} mm/px.",
-        f"- Weights: `{args.weights}` (recipe: TRAINING.md). Full production chain",
+        f"- Weights: `{args.weights}` (recipe: TRAINING.md; architecture from",
+        "  the checkpoint sidecar — the deploy checkpoint carries the stride-2",
+        "  hi-res proto head). Full production chain",
         f"  at imgsz={args.imgsz} (reference measurement.py:208-210); per-frame",
         "  raw (unsmoothed) values vs protocol-exact truth.",
         "- Truth is PROTOCOL-exact (f64): width = plane distance between mask",

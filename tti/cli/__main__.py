@@ -46,17 +46,36 @@ log = get_logger("cli")
 
 
 def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
+    import dataclasses
+
     import jax.numpy as jnp
 
-    from tti.model.convert import load_checkpoint
+    from tti.model.convert import checkpoint_metadata, load_checkpoint
     from tti.model.yolo import create_model, init_variables
     from tti.parallel.runtime import InspectionPipeline
+
+    have_weights = cfg.model.weights and os.path.exists(cfg.model.weights)
+    if have_weights:
+        # The checkpoint sidecar is authoritative about the architecture it
+        # was trained with (variant / num_classes / mask_stride) — otherwise
+        # pointing TTI_MODEL_WEIGHTS at the stride-2 deploy checkpoint without
+        # also flipping TTI_MASK_STRIDE dies on a shape mismatch at load.
+        meta = checkpoint_metadata(cfg.model.weights)
+        arch = {k: meta[k] for k in ("variant", "num_classes", "mask_stride")
+                if k in meta}
+        drift = {k: (getattr(cfg.model, k), v) for k, v in arch.items()
+                 if getattr(cfg.model, k) != v}
+        if drift:
+            log.info("adopting checkpoint architecture %s (config had %s)",
+                     arch, {k: old for k, (old, _) in drift.items()})
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, **arch))
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype,
                          mask_stride=cfg.model.mask_stride)
     variables = init_variables(model, image_size=cfg.model.image_size)
-    if cfg.model.weights and os.path.exists(cfg.model.weights):
+    if have_weights:
         variables = load_checkpoint(cfg.model.weights, variables)
         log.info("loaded weights from %s", cfg.model.weights)
     else:

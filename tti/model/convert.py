@@ -376,6 +376,23 @@ def save_checkpoint(variables: Tree, path: str, metadata: dict | None = None) ->
             json.dump(metadata, f, indent=2)
 
 
+def checkpoint_metadata(path: str) -> dict:
+    """Read the JSON metadata sidecar written by save_checkpoint (``{path}.json``).
+
+    Returns {} when the sidecar is absent (e.g. orbax train dirs, converted
+    checkpoints saved without metadata). Callers use this to recover the
+    architecture knobs a checkpoint was trained with (variant, num_classes,
+    mask_stride) instead of hard-coding them."""
+    import json
+    import os
+
+    sidecar = path + ".json"
+    if not os.path.isfile(sidecar):
+        return {}
+    with open(sidecar, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
 def load_checkpoint(path: str, template: Tree) -> Tree:
     """Load inference variables: a flax msgpack file, or an orbax train-state
     checkpoint DIRECTORY as written by tti.train.checkpoint.save_train_state
