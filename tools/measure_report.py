@@ -427,6 +427,9 @@ def main() -> None:
     ap.add_argument("--imgsz", type=int, default=960)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out", default="MEASURE_REPORT.md")
+    ap.add_argument("--paths", default="",
+                    help="comma list to restrict configs (reference-native,"
+                         "rectified) — outlier-hunting reruns")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -458,16 +461,22 @@ def main() -> None:
         ("rectified", True, "float32"),
         ("rectified", True, "bfloat16"),
     ]
+    if args.paths:
+        keep = set(args.paths.split(","))
+        configs = [c for c in configs if c[0] in keep]
     # The reference's deployment correction constants (config.py:156-157):
     # applied to the raw protocol values before the validity gates.
     SEAM_OFFSET, WIDTH_OFFSET = -1.3, -1.0
 
-    rows, rows_corr = [], []
+    rows, rows_corr, per_frame = [], [], {}
     for name, und, dtype in configs:
         t1 = time.time()
         edge_m, width_m, n_det = run_pipeline(
             frames, args.weights, undistort=und, dtype=dtype,
             imgsz=args.imgsz, batch=args.batch)
+        per_frame[f"{name}/{dtype}"] = {
+            "edge_measured": edge_m.tolist(), "width_measured": width_m.tolist(),
+            "n_detected": n_det.tolist()}
         es = error_stats(edge_m, gt_edge)
         ws = error_stats(width_m, gt_width)
         det_ratio = float(np.mean(np.minimum(n_det / np.maximum(gt_n, 1), 1.0)))
@@ -556,6 +565,15 @@ def main() -> None:
             "offset_corrected_vs_physical": [
                 {"path": n, "dtype": d, "edge": es, "width": ws, "det_ratio": det}
                 for n, d, es, ws, det in rows_corr],
+            # Per-frame measurements + truth: outliers in the summary tables
+            # can be localized to a scene (and regenerated: scenes are
+            # deterministic in --seed) without a rerun.
+            "seed": args.seed,
+            "truth": {"edge": gt_edge.tolist(), "width": gt_width.tolist(),
+                      "edge_perp": gt_edge_perp.tolist(),
+                      "width_nominal": gt_width_nom.tolist(),
+                      "n_stitches": gt_n.tolist()},
+            "per_frame": per_frame,
         }, f, indent=1)
     print(f"wrote {args.out} ({time.time()-t0:.0f}s total)")
 

@@ -638,6 +638,28 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_tune_device(args) -> int:
+    """Sweep the env-gated perf variants on THIS device/geometry and write
+    the winning configuration as .env lines (tools/tune_device.py)."""
+    # tools/ is a namespace package at the repo root (same resolution as
+    # cmd_bench's `import bench`).
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from tools.tune_device import main as tune_main
+
+    argv = ["--batches", args.batches, "--imgsz", str(args.imgsz),
+            "--frame-h", str(args.frame_h), "--frame-w", str(args.frame_w),
+            "--variant", args.variant, "--dtype", args.dtype,
+            "--iters", str(args.iters), "--out", args.out]
+    if args.trials:
+        argv += ["--trials", args.trials]
+    if args.allow_approx:
+        argv.append("--allow-approx")
+    tune_main(argv)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="tti")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -724,6 +746,21 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser("tune-device", help="auto-tune the env-gated perf "
+                       "variants on this device; writes winning .env lines")
+    p.add_argument("--batches", default="1,128")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--frame-h", type=int, default=1080)
+    p.add_argument("--frame-w", type=int, default=1920)
+    p.add_argument("--variant", default="n")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--trials", default="", help="comma list (default: all)")
+    p.add_argument("--allow-approx", action="store_true",
+                   help="let approximate/quantized variants win")
+    p.add_argument("--out", default="tune.env")
+    p.set_defaults(func=cmd_tune_device)
 
     p = sub.add_parser("export", help="freeze the inspection step into a "
                        "portable StableHLO artifact + weights bundle")
