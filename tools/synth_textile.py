@@ -177,6 +177,255 @@ def write_split(out_dir: str, n: int, size: int, seed: int, quality: int) -> Non
                 f.write(f"{cls} {coords}\n")
 
 
+# ---------------------------------------------------------------------------
+# Camera-domain scenes (--camera): constructed in fabric-plane millimetres and
+# rendered through the DEPLOYMENT camera (real intrinsics+extrinsics), so the
+# network trains on the perspective/lens geometry it will see in production.
+#
+# Why: the flat generator above has no camera model. A network trained long
+# enough on flat scenes overfits flat geometry — measured in round 3: the
+# stride-2 checkpoint hit 0.829 stitch mask AP on flat val data yet collapsed
+# on raw distorted deployment-geometry frames (MEASURE_REPORT rerun; STATUS.md
+# round-3 notes). Scene APPEARANCE here stays this module's own (weave/clutter
+# /photometric family) while tools/measure_report.py's evaluation scenes use a
+# different appearance model — the mm-accuracy report remains an independent
+# check, not a training-set replay. Randomization is strictly wider than the
+# eval scenes': yc 380-760 vs 550-700, seam angle +-10 vs +-4 deg, stitch
+# width 2.4-4.6 vs 2.8-4.15 mm, cut-edge 3-9 vs 4-8 mm.
+#
+# Three sub-domains are mixed per --camera split:
+#   distorted: the raw sensor (reference-native path, measurement.py:208-210)
+#   pinhole:   dist=0 (what the model sees on tti's rectified flagship path)
+#   flat:      the generator above (generic robustness)
+# ---------------------------------------------------------------------------
+
+
+def _measure_report():
+    try:
+        from tools import measure_report as mr
+    except ImportError:  # executed as a script from tools/
+        import measure_report as mr
+    return mr
+
+
+def _weave_plane(sr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """This module's weave family over plane-mm coords (thread axes randomly
+    rotated relative to the seam — unlike the eval generator's seam-aligned
+    weave), plus low-frequency cloth waviness and grain noise."""
+    th = rng.uniform(0, np.pi)
+    c, s = np.cos(th), np.sin(th)
+    a = sr[..., 0] * c - sr[..., 1] * s
+    b = sr[..., 0] * s + sr[..., 1] * c
+    pitch = rng.uniform(0.3, 0.8)  # thread pitch in mm
+    p1, p2 = rng.uniform(0, 6.28, 2)
+    warp = np.sin(a * (2 * np.pi / pitch) + p1)
+    weft = np.sin(b * (2 * np.pi / pitch) + p2)
+    tex = 0.5 + 0.08 * warp + 0.08 * weft + 0.06 * warp * weft
+    tex += 0.05 * np.sin(a / rng.uniform(3.5, 9) + np.sin(b / rng.uniform(2.5, 6)))
+    tex += rng.normal(0, 0.02, size=tex.shape)
+    return np.clip(tex, 0.0, 1.0).astype(np.float32)
+
+
+def make_camera_scene(mapper, rng: np.random.Generator, return_masks: bool = False):
+    """One deployment-geometry scene -> (bgr uint8 (H,W,3), polys, classes).
+
+    Polygons are in DISTORTED PIXEL coordinates of the (H,W) frame (callers
+    normalize after any padding). Labels are exact projections of the same
+    plane-space predicates the renderer evaluates per pixel (return_masks=True
+    also returns those per-pixel masks, for label-consistency tests)."""
+    h, w = mapper.h, mapper.w
+
+    # Seam frame (origin mid-row pixel, u ~ image-horizontal on the plane,
+    # v = in-plane perpendicular, +v image-down).
+    yc = rng.uniform(380.0, 760.0) * (h / 960.0)
+    p0 = mapper.to_plane(np.array([w / 2, yc]))
+    pa = mapper.to_plane(np.array([w * 0.25, yc]))
+    pb = mapper.to_plane(np.array([w * 0.75, yc]))
+    u = (pb - pa) / np.linalg.norm(pb - pa)
+    ang = np.deg2rad(rng.uniform(-10, 10))
+    c, s_ = np.cos(ang), np.sin(ang)
+    u = np.array([c * u[0] - s_ * u[1], s_ * u[0] + c * u[1]])
+    v = np.array([-u[1], u[0]])
+    if (mapper.to_plane(np.array([w / 2, yc + 50.0])) - p0) @ v < 0:
+        v = -v
+
+    sr = np.stack([(mapper.plane_mm - p0) @ u,
+                   (mapper.plane_mm - p0) @ v], -1).astype(np.float32)
+    s_px, r_px = sr[..., 0], sr[..., 1]
+    row = s_px[min(max(int(yc), 0), h - 1)]
+    s_lo = float(np.percentile(row, 8))
+    s_hi = float(np.percentile(row, 92))
+    # Fabric label extent: just past the frame edges AT THE SEAM ROW. Points
+    # projected far outside the calibrated image hit the distortion
+    # polynomial's extrapolation regime and can fold the polygon.
+    s_min = float(row.min()) - 3.0
+    s_max = float(row.max()) + 3.0
+
+    # Geometry randomization (mm) — superset of the eval scenes' ranges.
+    W_mm = rng.uniform(2.4, 4.6)
+    H_mm = rng.uniform(0.8, 2.4)
+    pitch = rng.uniform(1.25, 2.3) * W_mm
+    D_edge = rng.uniform(3.0, 9.0)
+    t0 = rng.uniform(0.4, 1.6)
+    amp = rng.uniform(0.15, 1.0)
+    lam = rng.uniform(12.0, 60.0)
+    phase = rng.uniform(0, 2 * np.pi)
+
+    def r_top(sv):
+        return -t0 + amp * np.sin(2 * np.pi * sv / lam + phase)
+
+    # Stitch slots along the seam.
+    r_bias = rng.uniform(0.1, 0.9)
+    n_slots = int((s_hi - s_lo - 2 * W_mm) // pitch)
+    n_slots = max(3, min(n_slots, 12))
+    start = -0.5 * (n_slots - 1) * pitch + rng.uniform(-0.5, 0.5) * pitch
+    stitches = []  # (sk, rk, theta, Wk, Hk)
+    for k in range(n_slots):
+        if rng.uniform() < 0.12:
+            continue
+        sk = start + k * pitch + rng.normal(0, 0.3)
+        rk = r_bias + 0.6 * (r_top(sk) + t0) + rng.normal(0, 0.3)
+        stitches.append((sk, rk, np.deg2rad(rng.uniform(-10, 10)),
+                         W_mm * rng.uniform(0.92, 1.08),
+                         H_mm * rng.uniform(0.85, 1.15)))
+    if len(stitches) < 3:
+        stitches = [(start + i * pitch, r_bias, 0.0, W_mm, H_mm)
+                    for i in range(3)]
+
+    # ---- render (plane-space predicates evaluated per pixel) -------------
+    img = np.zeros((h, w, 3), np.float32)
+    base = rng.uniform(0.06, 0.22)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grad = base * (1 + 0.5 * (rng.uniform(-1, 1) * xx / w
+                              + rng.uniform(-1, 1) * yy / h))
+    img[:] = grad[..., None] * np.array(rng.uniform(0.8, 1.2, 3), np.float32)
+    for _ in range(rng.integers(0, 4)):  # unlabeled plane-space clutter rects
+        cs = rng.uniform(s_min, s_max)
+        cr = rng.uniform(-40, 40)
+        hs, hr = rng.uniform(5, 40, 2)
+        m = ((np.abs(s_px - cs) <= hs) & (np.abs(r_px - cr) <= hr)
+             ).astype(np.float32)[..., None]
+        img += m * rng.uniform(-0.05, 0.12)
+
+    fabric = (r_px >= r_top(s_px)) & (r_px <= D_edge)
+    tint = np.array([rng.uniform(0.55, 0.95) for _ in range(3)], np.float32)
+    tint = tint / tint.max() * rng.uniform(0.6, 0.95)
+    tex = _weave_plane(sr, rng)
+    fm = fabric.astype(np.float32)[..., None]
+    img = img * (1 - fm) + fm * (tex[..., None] * tint)
+
+    stitch_col = np.array(rng.uniform(0.05, 0.25, 3), np.float32)
+    polys, classes, masks = [], [], [fabric]
+
+    # Fabric polygon label: wavy top polyline + straight cut edge, projected.
+    s_line = np.linspace(s_min, s_max, 49)
+    top_pts = np.stack([s_line, r_top(s_line)], -1)
+    # The straight cut edge is straight ON THE PLANE; through the lens it is a
+    # curve — densify it like the wavy edge or the polygon undercuts the band.
+    bot_pts = np.stack([s_line[::-1], np.full(49, D_edge)], -1)
+    plane_poly = np.concatenate([top_pts, bot_pts])
+    world = p0[None, :] + plane_poly[:, :1] * u[None, :] + plane_poly[:, 1:] * v[None, :]
+    polys.append(np.asarray(mapper.to_pixel(world), np.float32))
+    classes.append(1)
+
+    for sk, rk, th, Wk, Hk in stitches:
+        ds, dr = s_px - sk, r_px - rk
+        ls = ds * np.cos(th) + dr * np.sin(th)
+        lr = -ds * np.sin(th) + dr * np.cos(th)
+        m = (np.abs(ls) <= Wk / 2) & (np.abs(lr) <= Hk / 2)
+        masks.append(m)
+        sm = m.astype(np.float32)[..., None]
+        img = img * (1 - sm) + sm * (stitch_col * rng.uniform(0.8, 1.2))
+        # Quad corners in the stitch's local frame -> plane -> pixels
+        # (3 points per side absorbs lens curvature, negligible at this size).
+        tq = np.linspace(0, 1, 3)[:-1]
+        cor = np.array([[-Wk / 2, -Hk / 2], [Wk / 2, -Hk / 2],
+                        [Wk / 2, Hk / 2], [-Wk / 2, Hk / 2]])
+        edge_pts = np.concatenate([
+            cor[i] + (cor[(i + 1) % 4] - cor[i]) * tq[:, None]
+            for i in range(4)])
+        ct, st = np.cos(th), np.sin(th)
+        loc = np.stack([edge_pts[:, 0] * ct - edge_pts[:, 1] * st + sk,
+                        edge_pts[:, 0] * st + edge_pts[:, 1] * ct + rk], -1)
+        world = p0[None, :] + loc[:, :1] * u[None, :] + loc[:, 1:] * v[None, :]
+        polys.append(np.asarray(mapper.to_pixel(world), np.float32))
+        classes.append(0)
+
+    # Unlabeled pixel-space distractors + photometric chain (this module's
+    # family: blur may be absent entirely, unlike the eval scenes).
+    for _ in range(rng.integers(0, 6)):
+        x0, y0 = int(rng.integers(2, w - 2)), int(rng.integers(2, h - 2))
+        cv2.circle(img, (x0, y0), int(rng.integers(1, 3)),
+                   tuple(float(q) for q in rng.uniform(0.05, 0.5, 3)), -1)
+    for _ in range(rng.integers(0, 3)):
+        pA = rng.integers(0, [w, h])
+        pB = np.clip(pA + rng.integers(-w // 4, w // 4, 2), 0, [w - 1, h - 1])
+        cv2.line(img, tuple(int(q) for q in pA), tuple(int(q) for q in pB),
+                 tuple(float(q) for q in rng.uniform(0.3, 0.7, 3)), 1)
+    r2 = (((xx / w) - 0.5) ** 2 + ((yy / h) - 0.5) ** 2) * rng.uniform(0.0, 1.2)
+    img *= (1.0 - r2)[..., None]
+    sigma = rng.uniform(0.0, 1.3)
+    if sigma > 0.2:
+        img = cv2.GaussianBlur(img, (0, 0), sigma)
+    img += rng.normal(0, rng.uniform(0.004, 0.02), size=img.shape).astype(np.float32)
+    bgr = np.clip(img[..., ::-1] * 255, 0, 255).astype(np.uint8)
+    if return_masks:
+        return bgr, polys, classes, masks
+    return bgr, polys, classes
+
+
+def _pad_square(bgr: np.ndarray, polys_px: list[np.ndarray], pad_value: int = 114):
+    """Center-pad an (H,W) frame to (W,W) so the trainer's square resize keeps
+    the deployment's uniform content scale (1280x960 -> imgsz 960 is a 0.75
+    uniform letterbox in production; a square stretch would be anisotropic).
+    Pad rows use the letterbox gray the model sees in deployment. Returns the
+    padded image + polygons normalized over the square."""
+    h, w = bgr.shape[:2]
+    top = (w - h) // 2
+    sq = np.full((w, w, 3), pad_value, bgr.dtype)
+    sq[top:top + h] = bgr
+    out = []
+    for p in polys_px:
+        q = p.copy()
+        q[:, 1] += top
+        out.append(np.clip(q / w, 0.0, 1.0))
+    return sq, out
+
+
+def write_camera_split(out_dir: str, n: int, seed: int, quality: int,
+                       flat_size: int = 960,
+                       mix: tuple[float, float, float] = (0.4, 0.3, 0.3)) -> None:
+    """Mixed-domain split: distorted-camera / pinhole-camera / flat scenes."""
+    mr = _measure_report()
+    mappers = {
+        "distorted": mr.PlaneMapper(),
+        "pinhole": mr.PlaneMapper(dist=np.zeros(5)),
+    }
+    images = os.path.join(out_dir, "images")
+    labels = os.path.join(out_dir, "labels")
+    os.makedirs(images, exist_ok=True)
+    os.makedirs(labels, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    counts = {"distorted": 0, "pinhole": 0, "flat": 0}
+    for i in range(n):
+        mode = rng.choice(["distorted", "pinhole", "flat"], p=mix)
+        counts[str(mode)] += 1
+        if mode == "flat":
+            bgr, polys, classes = make_scene(flat_size, rng)
+        else:
+            bgr, polys_px, classes = make_camera_scene(mappers[str(mode)], rng)
+            bgr, polys = _pad_square(bgr, polys_px)
+        cv2.imwrite(os.path.join(images, f"scene_{i:05d}.jpg"), bgr,
+                    [cv2.IMWRITE_JPEG_QUALITY, quality])
+        with open(os.path.join(labels, f"scene_{i:05d}.txt"), "w") as f:
+            for cls, poly in zip(classes, polys):
+                coords = " ".join(f"{q:.6f}" for q in poly.reshape(-1))
+                f.write(f"{cls} {coords}\n")
+        if (i + 1) % 32 == 0:
+            print(f"wrote {i + 1}/{n}", flush=True)
+    print(f"{out_dir}: {counts}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -185,13 +434,23 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--jpeg-quality", type=int, default=88)
+    ap.add_argument("--camera", action="store_true",
+                    help="deployment-geometry mixed-domain dataset (distorted"
+                         "/pinhole/flat); --size applies to the flat scenes")
     args = ap.parse_args()
     if cv2 is None:
         raise SystemExit("synth_textile.py requires cv2 (opencv)")
-    write_split(os.path.join(args.out, "train"), args.train, args.size,
-                args.seed, args.jpeg_quality)
-    write_split(os.path.join(args.out, "val"), args.val, args.size,
-                args.seed + 10_000, args.jpeg_quality)
+    if args.camera:
+        write_camera_split(os.path.join(args.out, "train"), args.train,
+                           args.seed, args.jpeg_quality, flat_size=args.size)
+        write_camera_split(os.path.join(args.out, "val"), args.val,
+                           args.seed + 10_000, args.jpeg_quality,
+                           flat_size=args.size)
+    else:
+        write_split(os.path.join(args.out, "train"), args.train, args.size,
+                    args.seed, args.jpeg_quality)
+        write_split(os.path.join(args.out, "val"), args.val, args.size,
+                    args.seed + 10_000, args.jpeg_quality)
     print(f"wrote {args.train} train + {args.val} val scenes to {args.out}")
 
 
