@@ -573,6 +573,10 @@ def cmd_train(args) -> int:
     from tti.train.data import batches, discover_dataset
     from tti.train.step import create_train_state, make_train_step
 
+    if args.resume and args.host_aug:
+        print("--resume requires the device-aug path (the host batch "
+              "iterator has no step-indexed stream to re-enter)")
+        return 1
     samples = discover_dataset(args.images)
     model = create_model(args.variant, nc=args.num_classes,
                          mask_stride=args.mask_stride)
@@ -581,6 +585,22 @@ def cmd_train(args) -> int:
     total_steps = steps_per_epoch * args.epochs
     state, tx = create_train_state(model, variables, learning_rate=args.lr,
                                    total_steps=total_steps)
+    start = 0
+    if args.resume:
+        # Restore the full TrainState (params, EMA, optimizer, step) from the
+        # newest checkpoint in --out and continue the SAME run: the device-aug
+        # data stream is a pure function of the step index (fold_in(key, seen)),
+        # so a resumed run replays the exact schedule an uninterrupted run
+        # would have seen. (SURVEY.md §5 checkpoint/resume row.)
+        from tti.train.checkpoint import latest_checkpoint, restore_train_state
+
+        ckpt = latest_checkpoint(args.out)
+        if ckpt is None:
+            print(f"--resume: no checkpoint under {args.out}; starting fresh")
+        else:
+            state = restore_train_state(ckpt, state)
+            start = int(np.asarray(state.step))
+            print(f"resumed {ckpt} at step {start}/{total_steps}", flush=True)
     mesh = create_mesh() if jax.device_count() > 1 else None
     step = make_train_step(model, tx, (args.imgsz, args.imgsz), mesh=mesh)
     if mesh is not None:
@@ -599,7 +619,7 @@ def cmd_train(args) -> int:
         data = replicate(mesh, data) if mesh is not None else jax.device_put(data)
         augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh)
         key = jax.random.key(0)
-        for seen in range(1, total_steps + 1):
+        for seen in range(start + 1, total_steps + 1):
             x, targets = augment(data, jax.random.fold_in(key, seen))
             state, metrics = step(state, x, targets)
             if seen % args.log_every == 0:
@@ -720,6 +740,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-gt", type=int, default=32)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --out "
+                        "(device-aug path; replays the step-indexed stream)")
     p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
                    help="proto grid = imgsz/mask_stride; 2 = hi-res proto "
                         "head (tti extension, lifts the small-object mask "
