@@ -58,6 +58,28 @@ def test_oracle_roundtrip_and_truth_consistency(mapper):
     assert np.all((truth.width_nominal > 2.6) & (truth.width_nominal < 4.4))
 
 
+def test_temporal_variants_share_geometry(mapper):
+    """Smoothed-mode contract: one geometry rng + fresh appearance rngs yield
+    identical analytic truth but different pixels (the median-of-8 ring sees
+    genuine temporal nuisance, not copies), and the default path stays
+    deterministic per seed."""
+    g = lambda: np.random.default_rng([0, 7001, 3])  # noqa: E731
+    f1, t1 = make_measure_scene(mapper, g(),
+                                rng_app=np.random.default_rng([0, 7002, 3, 0]))
+    f2, t2 = make_measure_scene(mapper, g(),
+                                rng_app=np.random.default_rng([0, 7002, 3, 1]))
+    assert t1.frame_edge == t2.frame_edge
+    assert t1.frame_width == t2.frame_width
+    np.testing.assert_array_equal(t1.width_protocol, t2.width_protocol)
+    np.testing.assert_array_equal(t1.edge_protocol, t2.edge_protocol)
+    assert not np.array_equal(f1, f2)
+
+    fa, ta = make_measure_scene(mapper, np.random.default_rng(5))
+    fb, tb = make_measure_scene(mapper, np.random.default_rng(5))
+    np.testing.assert_array_equal(fa, fb)
+    assert ta.frame_edge == tb.frame_edge
+
+
 @pytest.mark.skipif(not os.path.exists(DEPLOY_CKPT),
                     reason="trained deploy checkpoint not present")
 def test_mm_accuracy_gate(mapper):
