@@ -89,3 +89,19 @@ def test_write_camera_split_dataset_loads(tmp_path, monkeypatch):
                          os.path.basename(s.image_path).replace(".jpg", ".txt")))
         assert len(polys) == len(classes) >= 4
         assert 1 in classes and 0 in classes
+
+
+def test_write_camera_split_mix_restricts_domains(tmp_path):
+    """mix=(0,0,1) must produce flat-only scenes (square flat_size renders,
+    not the 1280x1280 padded camera frames) — the single-domain val splits
+    used for the per-domain eval breakdown depend on this."""
+    import cv2
+
+    from tools.synth_textile import write_camera_split
+
+    out = str(tmp_path / "flat_only")
+    write_camera_split(out, 2, seed=4, quality=90, flat_size=320,
+                       mix=(0.0, 0.0, 1.0))
+    for name in os.listdir(os.path.join(out, "images")):
+        img = cv2.imread(os.path.join(out, "images", name))
+        assert img.shape[:2] == (320, 320)

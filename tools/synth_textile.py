@@ -437,15 +437,23 @@ def main() -> None:
     ap.add_argument("--camera", action="store_true",
                     help="deployment-geometry mixed-domain dataset (distorted"
                          "/pinhole/flat); --size applies to the flat scenes")
+    ap.add_argument("--mix", default="0.4,0.3,0.3",
+                    help="--camera sub-domain mix distorted,pinhole,flat — "
+                         "e.g. 1,0,0 builds a single-domain val split for a "
+                         "per-domain eval breakdown")
     args = ap.parse_args()
     if cv2 is None:
         raise SystemExit("synth_textile.py requires cv2 (opencv)")
     if args.camera:
+        mix = tuple(float(x) for x in args.mix.split(","))
+        if len(mix) != 3 or abs(sum(mix) - 1.0) > 1e-9:
+            raise SystemExit(f"--mix must be 3 probabilities summing to 1, got {args.mix}")
         write_camera_split(os.path.join(args.out, "train"), args.train,
-                           args.seed, args.jpeg_quality, flat_size=args.size)
+                           args.seed, args.jpeg_quality, flat_size=args.size,
+                           mix=mix)
         write_camera_split(os.path.join(args.out, "val"), args.val,
                            args.seed + 10_000, args.jpeg_quality,
-                           flat_size=args.size)
+                           flat_size=args.size, mix=mix)
     else:
         write_split(os.path.join(args.out, "train"), args.train, args.size,
                     args.seed, args.jpeg_quality)
