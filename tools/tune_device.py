@@ -59,7 +59,7 @@ EXACT_TRIALS = {t for t, env in TRIALS if "TTI_APPROX_TOPK" not in env
 
 
 def build_pipeline(batch: int, imgsz: int, frame_hw: tuple[int, int],
-                   variant: str, dtype: str):
+                   variant: str, dtype: str, mask_stride: int = 4):
     import jax.numpy as jnp
 
     from tti.calib.io import CalibrationData
@@ -82,8 +82,9 @@ def build_pipeline(batch: int, imgsz: int, frame_hw: tuple[int, int],
         rvec=np.array([-0.8631369244225452, -0.3919482615538663, -1.3591256137314185]),
         tvec=np.array([0.005016396186926285, 0.03590342712705542, 0.09382141278570659]))
     jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    model = create_model(variant, nc=2, dtype=jdt)
-    cfg = ModelConfig(variant=variant, num_classes=2, image_size=imgsz, dtype=dtype)
+    model = create_model(variant, nc=2, dtype=jdt, mask_stride=mask_stride)
+    cfg = ModelConfig(variant=variant, num_classes=2, image_size=imgsz,
+                      dtype=dtype, mask_stride=mask_stride)
     return InspectionPipeline(
         model_cfg=cfg, variables=init_variables(model, image_size=imgsz),
         frame_hw=frame_hw, calibration=calib, measure_cfg=MeasureConfig(),
@@ -103,7 +104,7 @@ class TrialResult:
 
 def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
               frame_hw: tuple[int, int], variant: str, dtype: str,
-              iters: int, lat_iters: int) -> TrialResult:
+              iters: int, lat_iters: int, mask_stride: int = 4) -> TrialResult:
     import jax.numpy as jnp
 
     for g in GATES:
@@ -111,7 +112,8 @@ def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
     os.environ.update(env)
     try:
         t0 = time.perf_counter()
-        pipe = build_pipeline(batch, imgsz, frame_hw, variant, dtype)
+        pipe = build_pipeline(batch, imgsz, frame_hw, variant, dtype,
+                              mask_stride=mask_stride)
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, size=(batch, *frame_hw, 3), dtype=np.uint8)
         frames_dev = pipe.prepare_frames(frames)
@@ -158,6 +160,8 @@ def main(argv=None) -> None:
     ap.add_argument("--frame-h", type=int, default=1080)
     ap.add_argument("--frame-w", type=int, default=1920)
     ap.add_argument("--variant", default="n")
+    ap.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
+                    help="proto-head stride (2 = the hi-res deploy arch)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--lat-iters", type=int, default=15)
@@ -183,7 +187,8 @@ def main(argv=None) -> None:
     for batch in batches:
         for name, env in trials:
             r = run_trial(name, env, batch, args.imgsz, frame_hw,
-                          args.variant, args.dtype, args.iters, args.lat_iters)
+                          args.variant, args.dtype, args.iters, args.lat_iters,
+                          mask_stride=args.mask_stride)
             results.append(r)
             if r.error:
                 print(f"[batch {batch:4d}] {name:28s} FAILED: {r.error}",

@@ -671,7 +671,8 @@ def cmd_tune_device(args) -> int:
     argv = ["--batches", args.batches, "--imgsz", str(args.imgsz),
             "--frame-h", str(args.frame_h), "--frame-w", str(args.frame_w),
             "--variant", args.variant, "--dtype", args.dtype,
-            "--iters", str(args.iters), "--out", args.out]
+            "--iters", str(args.iters), "--out", args.out,
+            "--mask-stride", str(args.mask_stride)]
     if args.trials:
         argv += ["--trials", args.trials]
     if args.allow_approx:
@@ -777,6 +778,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--frame-h", type=int, default=1080)
     p.add_argument("--frame-w", type=int, default=1920)
     p.add_argument("--variant", default="n")
+    p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
+                   help="proto-head stride (2 = the hi-res deploy arch)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--trials", default="", help="comma list (default: all)")
