@@ -106,3 +106,49 @@ def test_to_torch_rejects_stride2():
     variables = init_variables(model, image_size=32)
     with pytest.raises(ValueError, match="mask_stride=2"):
         to_torch_state_dict(variables)
+
+
+@pytest.mark.parametrize("q", [2, 4])
+def test_measure_grid_mapping_matches_nearest_upsample(q):
+    """Regression for the round-3 mm-report collapse: the measure pipeline's
+    mask-grid -> frame-px relations must use the ACTUAL proto stride (derived
+    from protos.shape), not the Ultralytics /4 constant. Ground truth: the
+    statistics of the NEAREST-upsampled full-res mask, computed directly."""
+    from tti.measure.pipeline import prepare_frame_inputs
+    from tti.postprocess.decode import Detections
+    from tti.preprocess.letterbox import LetterboxSpec
+
+    imgsz = 32
+    hm = wm = imgsz // q
+    spec = LetterboxSpec(src_h=imgsz, src_w=imgsz, dst_h=imgsz, dst_w=imgsz,
+                         scale=1.0, new_h=imgsz, new_w=imgsz,
+                         pad_top=0, pad_left=0)
+
+    # Proto ch0: stitch rect cells rows 2..3 x cols 1..4; ch1: fabric band
+    # rows 5..6 full width. +-10 logits saturate the sigmoid threshold.
+    protos = np.full((hm, wm, 2), -10.0, np.float32)
+    protos[2:4, 1:5, 0] = 10.0
+    protos[5:7, :, 1] = 10.0
+    dets = Detections(
+        boxes=jnp.asarray(np.array([[0, 0, imgsz, imgsz]] * 2, np.float32)),
+        scores=jnp.asarray(np.array([0.9, 0.8], np.float32)),
+        classes=jnp.asarray(np.array([0, 1], np.int32)),
+        coefs=jnp.asarray(np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)),
+        valid=jnp.asarray(np.array([True, True])),
+    )
+    stitches, envelope, fabric_any, _ = prepare_frame_inputs(
+        dets, jnp.asarray(protos), spec, 0, 1, None, max_stitches=4)
+
+    # Direct truth: NEAREST-upsample the cell mask to input px and measure.
+    cell = (protos[..., 0] > 0)
+    up = np.kron(cell, np.ones((q, q), bool))
+    ys, xs = np.nonzero(up)
+    assert bool(fabric_any)
+    assert bool(stitches.valid[0]) and not bool(stitches.valid[1])
+    np.testing.assert_allclose(float(stitches.cx[0]), xs.mean(), atol=1e-4)
+    np.testing.assert_allclose(float(stitches.cy[0]), ys.mean(), atol=1e-4)
+    assert float(stitches.left[0]) == xs.min()
+    assert float(stitches.right[0]) == xs.max()
+    # Envelope rows are cell indices; the bottom-of-block relation is applied
+    # downstream — check the cells themselves here.
+    np.testing.assert_array_equal(np.asarray(envelope), np.full(wm, 6))

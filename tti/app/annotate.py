@@ -168,12 +168,15 @@ def draw_fabric_contours(frame_bgr: np.ndarray, fabric_mask_frame: np.ndarray) -
 
 
 def envelope_to_polyline(envelope_mask_grid: np.ndarray, spec) -> np.ndarray:
-    """(Wm,) envelope with -1 sentinels -> (K, 2) frame-space polyline points."""
-    from tti.measure.pipeline import PROTO_STRIDE
+    """(Wm,) envelope with -1 sentinels -> (K, 2) frame-space polyline points.
 
+    The stride comes from the ACTUAL proto grid (spec.dst_w / Wm): 4 for the
+    Ultralytics head, 2 for the hi-res head — same relations as
+    tti/measure/pipeline.py's grid mappings."""
     cols = np.where(envelope_mask_grid >= 0)[0]
     if cols.size == 0:
         return np.zeros((0, 2), np.int32)
-    xs = (cols * PROTO_STRIDE + 1.5 - spec.pad_left) / spec.scale
-    ys = (envelope_mask_grid[cols] * PROTO_STRIDE + 3.0 - spec.pad_top) / spec.scale
+    q = spec.dst_w / envelope_mask_grid.shape[0]
+    xs = (cols * q + (q - 1.0) / 2.0 - spec.pad_left) / spec.scale
+    ys = (envelope_mask_grid[cols] * q + (q - 1.0) - spec.pad_top) / spec.scale
     return np.stack([xs, ys], axis=-1).astype(np.int32)

@@ -111,27 +111,36 @@ MeasureParams = MeasureConfig
 # ---------------------------------------------------------------------------
 
 
-def _mask_center_to_frame(x_mask: Array, pad: float, scale: float) -> Array:
-    """Centroid-consistent: NEAREST-upsampling a mask by 4 maps a low-res
-    centroid c to 4c + 1.5 in input px; then un-letterbox to frame px."""
-    return (x_mask * PROTO_STRIDE + 1.5 - pad) / scale
+def _mask_center_to_frame(x_mask: Array, pad: float, scale: float,
+                          q: float = PROTO_STRIDE) -> Array:
+    """Centroid-consistent: NEAREST-upsampling a mask by q maps a low-res
+    centroid c to q*c + (q-1)/2 in input px (q=4: 4c+1.5; the hi-res q=2
+    head: 2c+0.5); then un-letterbox to frame px. q must come from the
+    ACTUAL proto grid (input/protos.shape), not the Ultralytics constant —
+    the stride-2 deploy head measured ~2x-displaced stitch coordinates when
+    this was hardcoded at 4 (round-3 mm-report regression)."""
+    return (x_mask * q + (q - 1.0) / 2.0 - pad) / scale
 
 
-def _mask_left_to_frame(x_mask: Array, pad: float, scale: float) -> Array:
-    return (x_mask * PROTO_STRIDE - pad) / scale
+def _mask_left_to_frame(x_mask: Array, pad: float, scale: float,
+                        q: float = PROTO_STRIDE) -> Array:
+    return (x_mask * q - pad) / scale
 
 
-def _mask_right_to_frame(x_mask: Array, pad: float, scale: float) -> Array:
-    return (x_mask * PROTO_STRIDE + 3.0 - pad) / scale
+def _mask_right_to_frame(x_mask: Array, pad: float, scale: float,
+                         q: float = PROTO_STRIDE) -> Array:
+    return (x_mask * q + (q - 1.0) - pad) / scale
 
 
-def _mask_bottom_to_frame(y_mask: Array, pad: float, scale: float) -> Array:
-    """Envelope rows are bottom-most pixels: block bottom row = 4e + 3."""
-    return (y_mask * PROTO_STRIDE + 3.0 - pad) / scale
+def _mask_bottom_to_frame(y_mask: Array, pad: float, scale: float,
+                          q: float = PROTO_STRIDE) -> Array:
+    """Envelope rows are bottom-most pixels: block bottom row = q*e + q-1."""
+    return (y_mask * q + (q - 1.0) - pad) / scale
 
 
-def _frame_x_to_mask_col(x_frame: Array, pad: float, scale: float) -> Array:
-    return (x_frame * scale + pad) / PROTO_STRIDE
+def _frame_x_to_mask_col(x_frame: Array, pad: float, scale: float,
+                         q: float = PROTO_STRIDE) -> Array:
+    return (x_frame * scale + pad) / q
 
 
 # ---------------------------------------------------------------------------
@@ -255,11 +264,14 @@ def prepare_frame_inputs(
     left_m = jnp.where(has_mask, left_m, bsel[:, 0])
     right_m = jnp.where(has_mask, right_m, bsel[:, 2])
 
+    # The ACTUAL proto stride of this model (4 = Ultralytics; 2 = the hi-res
+    # head). Static shapes make this a trace-time Python float.
+    q = input_hw[1] / wm
     stitches = StitchSet(
-        cx=_mask_center_to_frame(cx_m, spec.pad_left, spec.scale),
-        cy=_mask_center_to_frame(cy_m, spec.pad_top, spec.scale),
-        left=_mask_left_to_frame(left_m, spec.pad_left, spec.scale),
-        right=_mask_right_to_frame(right_m, spec.pad_left, spec.scale),
+        cx=_mask_center_to_frame(cx_m, spec.pad_left, spec.scale, q),
+        cy=_mask_center_to_frame(cy_m, spec.pad_top, spec.scale, q),
+        left=_mask_left_to_frame(left_m, spec.pad_left, spec.scale, q),
+        right=_mask_right_to_frame(right_m, spec.pad_left, spec.scale, q),
         valid=sel_valid,
     )
     return stitches, envelope, fabric_any, counts
@@ -278,13 +290,15 @@ def _sample_envelope_frame(
     columns map to (possibly repeated) mask columns — repetition mirrors the
     NEAREST-expanded envelope the reference reads."""
     w = envelope.shape[0]
+    q = spec.dst_w / w  # actual proto stride (4, or 2 for the hi-res head)
     offs = jnp.arange(-neighborhood, neighborhood + 1, dtype=jnp.float32)
-    cols_f = _frame_x_to_mask_col(cx_frame[:, None] + offs[None, :], spec.pad_left, spec.scale)
+    cols_f = _frame_x_to_mask_col(cx_frame[:, None] + offs[None, :],
+                                  spec.pad_left, spec.scale, q)
     cols = jnp.clip(cols_f.astype(jnp.int32), 0, w - 1)
     vals = envelope[cols].astype(jnp.float32)
     ok = vals >= 0
     med_mask_y, has = masked_median(vals, ok, axis=-1)
-    env_frame_y = _mask_bottom_to_frame(med_mask_y, spec.pad_top, spec.scale)
+    env_frame_y = _mask_bottom_to_frame(med_mask_y, spec.pad_top, spec.scale, q)
     return jnp.where(has, env_frame_y, 0.0), has
 
 
