@@ -184,9 +184,11 @@ def write_split(out_dir: str, n: int, size: int, seed: int, quality: int) -> Non
 #
 # Why: the flat generator above has no camera model. A network trained long
 # enough on flat scenes overfits flat geometry — measured in round 3: the
-# stride-2 checkpoint hit 0.829 stitch mask AP on flat val data yet collapsed
-# on raw distorted deployment-geometry frames (MEASURE_REPORT rerun; STATUS.md
-# round-3 notes). Scene APPEARANCE here stays this module's own (weave/clutter
+# flat-trained stride-2 checkpoint hit 0.829 stitch mask AP on flat val data
+# but only 0.478 full-res mask mAP50-95 on mixed camera-domain val, vs 0.750
+# for the camera-domain-trained net (predict-chain eval, so independent of
+# the stride-2 measure-path mapping bug found the same day — STATUS.md
+# round-3 item 17). Scene APPEARANCE here stays this module's own (weave/clutter
 # /photometric family) while tools/measure_report.py's evaluation scenes use a
 # different appearance model — the mm-accuracy report remains an independent
 # check, not a training-set replay. Randomization is strictly wider than the
