@@ -30,7 +30,7 @@ from tools.measure_report import (  # noqa: E402
 )
 
 DEPLOY_CKPT = os.path.join(os.path.dirname(__file__), "..",
-                           "checkpoints", "yolov8n_textile.msgpack")
+                           "checkpoints", "yolov8n_textile_cam.msgpack")
 
 
 @pytest.fixture(scope="module")
@@ -107,7 +107,11 @@ def test_mm_accuracy_gate(mapper):
     # < MIN_STITCHES on the fabric side -> require majority coverage, not 100%.
     fin = np.isfinite(edge)
     assert fin.sum() >= 4, f"seam allowance mostly absent: {edge}"
-    # Error budget: ~2x MEASURE_REPORT.md p95; well inside the validity windows
-    # (4.5 mm seam / 1.35 mm width spans).
-    assert np.all(np.abs(edge[fin] - gt_edge[fin]) < 1.2), (edge, gt_edge)
-    assert np.all(np.abs(width - gt_width) < 1.3), (width, gt_width)
+    # Error budget: ~2.5x MEASURE_REPORT.md p95 for the camera-domain
+    # stride-2 deploy checkpoint (edge p95 0.395 / width p95 0.310 raw
+    # per-frame; max over 256 scenes 0.74 / 0.60) — an order inside the
+    # validity windows (4.5 mm seam / 1.35 mm width spans). The stride-2
+    # head also makes this a product-level regression gate for the q=2
+    # grid-mapping relations (STATUS.md round-3 item 17).
+    assert np.all(np.abs(edge[fin] - gt_edge[fin]) < 1.0), (edge, gt_edge)
+    assert np.all(np.abs(width - gt_width) < 0.8), (width, gt_width)
