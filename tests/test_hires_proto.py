@@ -61,10 +61,74 @@ def test_train_step_stride2_decreases_loss(rng):
     assert losses[-1] < losses[0]
 
 
-def test_pipeline_e2e_stride2(rng):
+def test_subpixel_proto_head(rng):
+    """The round-4 sub-pixel hi-res head: protos at input/2 with ALL compute
+    on the input/4 grid (1x1 conv to 4*nm phases + depth-to-space). Pins the
+    output shape, parameter economy vs the deconv head, and that a train
+    step with per-class seg gains runs and stays finite."""
+    imgsz = 32
+    model = create_model("n", nc=2, mask_stride=2, proto_head="subpixel")
+    variables = init_variables(model, image_size=imgsz)
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, imgsz, imgsz, 3)).astype(np.float32))
+    raw = model.apply(variables, x, train=False)
+    assert raw.protos.shape == (1, imgsz // 2, imgsz // 2, 32)
+
+    # No deconv-stage params; the subpixel 1x1 exists.
+    proto_params = variables["params"]["m22"]["proto"]
+    assert "cv3sp" in proto_params and "upsample2" not in proto_params
+    assert "cv2b" not in proto_params and "cv3" not in proto_params
+
+    # Train step with stitch-weighted seg loss (gain 2 on class 0).
+    state, tx = create_train_state(model, variables, learning_rate=5e-3)
+    step = make_train_step(model, tx, (imgsz, imgsz),
+                           seg_class_gains=[2.0, 1.0])
+    batch, max_gt = 2, 2
+    hm = imgsz // 2
+    images = rng.uniform(0, 1, size=(batch, imgsz, imgsz, 3)).astype(np.float32)
+    boxes = np.tile(np.array([[4, 4, 24, 24], [8, 8, 28, 28]], np.float32),
+                    (batch, 1, 1))
+    targets = Targets(
+        boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(np.zeros((batch, max_gt), np.int32)),
+        masks=jnp.asarray(
+            (rng.uniform(size=(batch, max_gt, hm, hm)) > 0.5).astype(np.float32)),
+        valid=jnp.ones((batch, max_gt), bool),
+    )
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, jnp.asarray(images), targets)
+        losses.append(float(np.asarray(metrics["total"])))
+    assert all(np.isfinite(losses))
+
+
+def test_seg_class_gains_scale_the_seg_loss(rng):
+    """gains=[1,1] must reproduce the unweighted loss exactly; a stitch gain
+    of 2 on an all-stitch scene must exactly double the seg term."""
+    from tti.train.losses import seg_loss
+
+    hm = wm = 16
+    protos = jnp.asarray(rng.normal(size=(hm, wm, 8)).astype(np.float32))
+    coefs = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    gt_masks = jnp.asarray((rng.uniform(size=(4, hm, wm)) > 0.5).astype(np.float32))
+    gt_boxes = jnp.asarray(np.array([[0, 0, 12, 12]] * 4, np.float32))
+    assigned = jnp.asarray(rng.integers(0, 4, size=32).astype(np.int32))
+    pos = jnp.asarray(rng.uniform(size=32) > 0.5)
+
+    base = seg_loss(coefs, protos, gt_masks, gt_boxes, assigned, pos)
+    ones = seg_loss(coefs, protos, gt_masks, gt_boxes, assigned, pos,
+                    anchor_weights=jnp.ones(32))
+    twos = seg_loss(coefs, protos, gt_masks, gt_boxes, assigned, pos,
+                    anchor_weights=jnp.full(32, 2.0))
+    assert float(base) == float(ones)
+    np.testing.assert_allclose(float(twos), 2 * float(base), rtol=1e-6)
+
+
+@pytest.mark.parametrize("proto_head", ["deconv", "subpixel"])
+def test_pipeline_e2e_stride2(rng, proto_head):
     """Full inference chain (preprocess -> forward -> NMS -> mask stats ->
-    measurement) with the hi-res head: every downstream stage derives its
-    grid from protos.shape, so nothing may assume /4."""
+    measurement) with the hi-res head (both second-stage architectures):
+    every downstream stage derives its grid from protos.shape, so nothing
+    may assume /4."""
     from tti.calib.io import CalibrationData
     from tti.core.config import MeasureConfig, ModelConfig
     from tti.parallel.runtime import InspectionPipeline
@@ -81,8 +145,8 @@ def test_pipeline_e2e_stride2(rng):
     )
     cfg = ModelConfig(variant="n", num_classes=2, image_size=imgsz,
                       dtype="float32", letterbox="square", mask_stride=2,
-                      max_detections=16)
-    model = create_model("n", nc=2, mask_stride=2)
+                      max_detections=16, proto_head=proto_head)
+    model = create_model("n", nc=2, mask_stride=2, proto_head=proto_head)
     variables = init_variables(model, image_size=imgsz)
     pipe = InspectionPipeline(
         model_cfg=cfg, variables=variables, frame_hw=frame_hw,

@@ -106,6 +106,8 @@ def main() -> None:
                     "+ NMS + measure) instead of the bare forward")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
+                    help="proto grid stride (2 = hi-res deploy arch)")
     args = ap.parse_args()
 
     import jax
@@ -126,12 +128,14 @@ def main() -> None:
         rvec=np.array([-0.863, -0.392, -1.359]),
         tvec=np.array([0.005, 0.036, 0.094]))
     model_cfg = ModelConfig(variant="n", num_classes=2, image_size=args.imgsz,
-                            dtype="bfloat16")
+                            dtype="bfloat16", mask_stride=args.mask_stride)
     from tti.model.yolo import create_model
     pipeline = InspectionPipeline(
         model_cfg=model_cfg,
-        variables=init_variables(create_model("n", nc=2, dtype=jnp.bfloat16),
-                                 image_size=args.imgsz),
+        variables=init_variables(
+            create_model("n", nc=2, dtype=jnp.bfloat16,
+                         mask_stride=args.mask_stride),
+            image_size=args.imgsz),
         frame_hw=(args.frame_h, args.frame_w),
         calibration=calib, measure_cfg=MeasureConfig(),
     )

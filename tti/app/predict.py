@@ -92,7 +92,7 @@ class Predictor:
         dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
-            mask_stride=model_cfg.mask_stride,
+            mask_stride=model_cfg.mask_stride, proto_head=model_cfg.proto_head,
         )
         self.variables = jax.device_put(variables)
         self.mask_topk = min(mask_topk, model_cfg.max_detections)

@@ -61,7 +61,8 @@ def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
         # pointing TTI_MODEL_WEIGHTS at the stride-2 deploy checkpoint without
         # also flipping TTI_MASK_STRIDE dies on a shape mismatch at load.
         meta = checkpoint_metadata(cfg.model.weights)
-        arch = {k: meta[k] for k in ("variant", "num_classes", "mask_stride")
+        arch = {k: meta[k]
+                for k in ("variant", "num_classes", "mask_stride", "proto_head")
                 if k in meta}
         drift = {k: (getattr(cfg.model, k), v) for k, v in arch.items()
                  if getattr(cfg.model, k) != v}
@@ -73,7 +74,8 @@ def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype,
-                         mask_stride=cfg.model.mask_stride)
+                         mask_stride=cfg.model.mask_stride,
+                         proto_head=cfg.model.proto_head)
     variables = init_variables(model, image_size=cfg.model.image_size)
     if have_weights:
         variables = load_checkpoint(cfg.model.weights, variables)
@@ -429,7 +431,20 @@ def cmd_eval(args) -> int:
                                     # so square/rect letterbox coincide at
                                     # stride-multiple imgsz
                                     mask_stride=args.mask_stride,
+                                    proto_head=args.proto_head,
                                     **({"weights": args.weights} if args.weights else {}))
+    if model_cfg.weights and os.path.exists(model_cfg.weights):
+        # The sidecar is authoritative about the trained architecture (same
+        # contract as _load_pipeline) — evaluating a subpixel-head checkpoint
+        # without --proto-head subpixel would die on a shape mismatch.
+        from tti.model.convert import checkpoint_metadata
+
+        meta = checkpoint_metadata(model_cfg.weights)
+        arch = {k: meta[k]
+                for k in ("variant", "num_classes", "mask_stride", "proto_head")
+                if k in meta}
+        if arch:
+            model_cfg = dataclasses.replace(model_cfg, **arch)
     cfg = cfg.replace(model=model_cfg)
     samples = discover_dataset(args.images)
 
@@ -437,7 +452,8 @@ def cmd_eval(args) -> int:
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype,
-                         mask_stride=args.mask_stride)
+                         mask_stride=cfg.model.mask_stride,
+                         proto_head=cfg.model.proto_head)
     variables = init_variables(model, image_size=64)
     if cfg.model.weights and os.path.exists(cfg.model.weights):
         variables = load_checkpoint(cfg.model.weights, variables)
@@ -454,7 +470,8 @@ def cmd_eval(args) -> int:
         variables = quantize_weights(fold_batchnorm(variables))
         model = YOLOv8Seg(variant=cfg.model.variant, nc=cfg.model.num_classes,
                           dtype=dtype, folded_bn=True, qmode="int8",
-                          mask_stride=args.mask_stride)
+                          mask_stride=cfg.model.mask_stride,
+                          proto_head=cfg.model.proto_head)
         log.info("evaluating with TTI_QUANT=int8 (W8A8 PTQ)")
     predictor = Predictor(cfg.model, variables, (args.imgsz, args.imgsz),
                           mask_topk=64, model=model, proto_masks=True)
@@ -472,7 +489,7 @@ def cmd_eval(args) -> int:
                   f"({time.time() - t_eval0:.0f}s)", flush=True)
         batch_samples = samples[c0:c0 + chunk]
         prepped = [sample_to_targets(s, args.imgsz, max_gt=64,
-                                     mask_stride=args.mask_stride)
+                                     mask_stride=cfg.model.mask_stride)
                    for s in batch_samples]
         bgr = np.stack([(img[..., ::-1] * 255).astype(np.uint8)
                         for img, _ in prepped])
@@ -579,12 +596,19 @@ def cmd_train(args) -> int:
         return 1
     samples = discover_dataset(args.images)
     model = create_model(args.variant, nc=args.num_classes,
-                         mask_stride=args.mask_stride)
+                         mask_stride=args.mask_stride,
+                         proto_head=args.proto_head)
     variables = init_variables(model, image_size=args.imgsz)
     steps_per_epoch = max(len(samples) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.epochs
     state, tx = create_train_state(model, variables, learning_rate=args.lr,
                                    total_steps=total_steps)
+    # Per-class seg-loss gains (stitch = the product's measured class).
+    seg_class_gains = None
+    if args.stitch_seg_gain != 1.0:
+        cfg0 = load_config(validate=False)
+        seg_class_gains = [1.0] * args.num_classes
+        seg_class_gains[cfg0.model.stitch_class_id] = args.stitch_seg_gain
     start = 0
     if args.resume:
         # Restore the full TrainState (params, EMA, optimizer, step) from the
@@ -602,7 +626,8 @@ def cmd_train(args) -> int:
             start = int(np.asarray(state.step))
             print(f"resumed {ckpt} at step {start}/{total_steps}", flush=True)
     mesh = create_mesh() if jax.device_count() > 1 else None
-    step = make_train_step(model, tx, (args.imgsz, args.imgsz), mesh=mesh)
+    step = make_train_step(model, tx, (args.imgsz, args.imgsz), mesh=mesh,
+                           seg_class_gains=seg_class_gains)
     if mesh is not None:
         state = replicate(mesh, state)
 
@@ -748,6 +773,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="proto grid = imgsz/mask_stride; 2 = hi-res proto "
                         "head (tti extension, lifts the small-object mask "
                         "resolution ceiling — see MASK_CEILING.md)")
+    p.add_argument("--proto-head", default="deconv",
+                   choices=["deconv", "subpixel"],
+                   help="mask_stride=2 second stage: learned deconv (round-3 "
+                        "head) or sub-pixel conv + depth-to-space (~20x "
+                        "cheaper at inference; tti.model.layers.Proto)")
+    p.add_argument("--stitch-seg-gain", type=float, default=1.0,
+                   help="extra seg-loss weight on stitch-class positives "
+                        "(>1 prioritizes the small-object stitch masks the "
+                        "product measures; fabric keeps weight 1)")
     p.add_argument("--host-aug", action="store_true",
                    help="cv2 host-side augmentation instead of the default "
                         "device-side (HBM-resident) pipeline")
@@ -761,6 +795,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--weights")
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4])
+    p.add_argument("--proto-head", default="deconv",
+                   choices=["deconv", "subpixel"])
     p.set_defaults(func=cmd_eval)
 
     p = sub.add_parser("tune-camera", help="exposure/brightness/contrast tuning")

@@ -140,6 +140,9 @@ class ModelConfig:
     dtype: str = "bfloat16"  # TPU-native compute dtype; params kept fp32
     mask_stride: int = 4  # proto grid = input/mask_stride; 2 = hi-res proto
     # head (tti extension — the reference's fixed export is always /4)
+    proto_head: str = "deconv"  # mask_stride=2 second stage: "deconv" (the
+    # round-3 learned-deconv head) | "subpixel" (1x1 conv to 4*nm phases +
+    # depth-to-space — ~20x cheaper; see tti.model.layers.Proto)
 
     def __post_init__(self) -> None:
         # Validate here, not only in create_model: the runtime's
@@ -149,6 +152,11 @@ class ModelConfig:
             raise ValueError(
                 f"mask_stride (TTI_MASK_STRIDE) must be 2 or 4, "
                 f"got {self.mask_stride}"
+            )
+        if self.proto_head not in ("deconv", "subpixel"):
+            raise ValueError(
+                f"proto_head (TTI_PROTO_HEAD) must be 'deconv' or 'subpixel', "
+                f"got {self.proto_head!r}"
             )
 
     @staticmethod
@@ -163,6 +171,7 @@ class ModelConfig:
             letterbox=env_str(env, "TTI_LETTERBOX", "rect") or "rect",
             dtype=env_str(env, "TTI_DTYPE", "bfloat16") or "bfloat16",
             mask_stride=env_int(env, "TTI_MASK_STRIDE", 4),
+            proto_head=env_str(env, "TTI_PROTO_HEAD", "deconv") or "deconv",
         )
 
 

@@ -199,10 +199,25 @@ class Proto(nn.Module):
     """Mask prototype head: conv -> learned 2x deconv -> conv -> 1x1 to nm protos.
 
     ups=1 is the Ultralytics structure (protos at input/4 from the P3/8 map).
-    ups=2 inserts a SECOND learned 2x deconv + conv stage ("upsample2"/"cv2b")
-    for protos at input/2 — a tti extension (mask_stride=2): the measured
-    resolution ceiling on small objects (MASK_CEILING.md) is set by the proto
-    grid, not the network, and the reference's fixed export cannot move it."""
+    ups=2 emits protos at input/2 — a tti extension (mask_stride=2): the
+    measured resolution ceiling on small objects (MASK_CEILING.md) is set by
+    the proto grid, not the network, and the reference's fixed export cannot
+    move it. Two ups=2 architectures exist:
+
+    - subpixel=False ("deconv", the round-3 head): a SECOND learned 2x deconv
+      + 3x3 conv stage ("upsample2"/"cv2b") running at the full input/2 grid.
+      The cv2b 3x3 conv at (imgsz/2)^2 alone is ~17 GFLOP/image at imgsz 960
+      (variant n) — it nearly doubles the whole network's FLOPs.
+    - subpixel=True ("subpixel", the round-4 head): a 1x1 conv to 4*nm
+      channels at the input/4 grid, then depth-to-space — the ESPCN
+      sub-pixel convolution. Every 2x2 output block's nm protos come from
+      the same input/4 feature column through per-phase filters, so the
+      head expresses input/2 spatial detail while ALL compute stays on the
+      input/4 grid: ~0.9 GFLOP/image vs the deconv head's ~20 at imgsz 960.
+      TPU-first: the MXU sees one dense 64->128-channel 1x1 matmul instead
+      of a deconv + a huge fine-grid conv, and the depth-to-space is a pure
+      layout op XLA folds into the consumer.
+    """
 
     c_hidden: int
     nm: int = 32
@@ -210,6 +225,7 @@ class Proto(nn.Module):
     folded: bool = False
     qmode: str = ""
     ups: int = 1
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -225,6 +241,16 @@ class Proto(nn.Module):
             name="upsample",
         )(x)
         x = Conv(self.c_hidden, 3, 1, dtype=self.dtype, folded=self.folded, qmode=self.qmode, name="cv2")(x, train)
+        if self.ups == 2 and self.subpixel:
+            # Sub-pixel second stage: 1x1 conv to the 4 spatial phases' protos,
+            # then depth-to-space. SiLU (inside Conv) is elementwise, so
+            # applying it before the d2s permutation equals applying it after.
+            x = Conv(4 * self.nm, 1, 1, dtype=self.dtype, folded=self.folded,
+                     qmode=self.qmode, name="cv3sp")(x, train)
+            b, h, w, c4 = x.shape
+            x = x.reshape(b, h, w, 2, 2, self.nm)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+            return x.reshape(b, 2 * h, 2 * w, self.nm)
         if self.ups == 2:
             x = nn.ConvTranspose(
                 self.c_hidden,

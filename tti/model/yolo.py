@@ -108,6 +108,7 @@ class Segment(nn.Module):
     folded: bool = False
     qmode: str = ""
     mask_stride: int = 4  # proto grid = input/mask_stride (4 = Ultralytics; 2 = hi-res tti extension)
+    proto_head: str = "deconv"  # mask_stride=2 second stage: "deconv" | "subpixel"
 
     @nn.compact
     def __call__(
@@ -119,6 +120,7 @@ class Segment(nn.Module):
 
         protos = Proto(self.npr, self.nm, dtype=self.dtype, folded=self.folded, qmode=self.qmode,
                        ups={4: 1, 2: 2}[self.mask_stride],
+                       subpixel=self.proto_head == "subpixel",
                        name="proto")(feats[0], train)
 
         box_out, cls_out, coef_out = [], [], []
@@ -206,6 +208,7 @@ class YOLOv8Seg(nn.Module):
     folded_bn: bool = False  # expects fold_batchnorm-transformed params
     qmode: str = ""  # '' | 'int8' (W8A8 PTQ; expects quantize_weights params)
     mask_stride: int = 4  # 4 = Ultralytics proto grid; 2 = hi-res proto head
+    proto_head: str = "deconv"  # hi-res second stage: "deconv" | "subpixel"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> RawPredictions:
@@ -255,6 +258,7 @@ class YOLOv8Seg(nn.Module):
             fused_entry=self.fused_head_entry,
             folded=fold, qmode=qm,
             mask_stride=self.mask_stride,
+            proto_head=self.proto_head,
             name="m22",
         )
         return head((x15, x18, x21), train)
@@ -262,14 +266,17 @@ class YOLOv8Seg(nn.Module):
 
 def create_model(
     variant: str = "n", nc: int = 2, nm: int = 32, dtype: Dtype = jnp.float32,
-    mask_stride: int = 4,
+    mask_stride: int = 4, proto_head: str = "deconv",
 ) -> YOLOv8Seg:
     if variant not in SCALES:
         raise ValueError(f"unknown variant {variant!r}; choose from {sorted(SCALES)}")
     if mask_stride not in (2, 4):
         raise ValueError(f"mask_stride must be 2 or 4, got {mask_stride}")
+    if proto_head not in ("deconv", "subpixel"):
+        raise ValueError(
+            f"proto_head must be 'deconv' or 'subpixel', got {proto_head!r}")
     return YOLOv8Seg(variant=variant, nc=nc, nm=nm, dtype=dtype,
-                     mask_stride=mask_stride)
+                     mask_stride=mask_stride, proto_head=proto_head)
 
 
 def init_variables(model: YOLOv8Seg, image_size: int = 640, seed: int = 0):

@@ -159,10 +159,11 @@ class InspectionPipeline:
                 s2d_stem=True, s2d_input=warp_s2d, fused_head_entry=fuse_head,
                 folded_bn=fold_bn, qmode=quant,
                 mask_stride=model_cfg.mask_stride,
+                proto_head=model_cfg.proto_head,
             )
         self.model = model or create_model(
             model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
-            mask_stride=model_cfg.mask_stride,
+            mask_stride=model_cfg.mask_stride, proto_head=model_cfg.proto_head,
         )
         # Pin params on device once: weight transforms (and checkpoint loads)
         # can leave numpy leaves in the tree, and a numpy tree is re-uploaded

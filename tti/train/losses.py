@@ -116,6 +116,7 @@ def seg_loss(
     pos_mask: Array,
     eps: float = 1e-6,
     chunk: int | None = None,
+    anchor_weights: Array | None = None,
 ) -> Array:
     """Per-positive-anchor instance mask BCE, cropped to the GT box and
     normalized by its area (the YOLOv8-seg recipe).
@@ -147,6 +148,8 @@ def seg_loss(
     coefs = coefs[order]
     assigned_gt = assigned_gt[order]
     pos_mask = pos_mask[order]
+    if anchor_weights is not None:
+        anchor_weights = anchor_weights[order]
 
     env = os.environ.get("TTI_SEG_CHUNK")
     if env is not None:
@@ -174,5 +177,11 @@ def seg_loss(
              assigned_c.reshape(n_chunks, chunk)),
         ).reshape(-1)[:p]
 
+    # Optional per-anchor weights (per-class seg gains). The normalizer stays
+    # n_pos, not sum(w): with all-ones weights this reduces bit-for-bit to the
+    # unweighted recipe, and gains scale gradient magnitude per class instead
+    # of silently renormalizing the loss.
+    if anchor_weights is not None:
+        per_anchor = per_anchor * anchor_weights
     n_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
     return jnp.sum(jnp.where(pos_mask, per_anchor, 0.0)) / n_pos

@@ -111,6 +111,7 @@ def _loss_single(
     targets_masks: Array,
     targets_valid: Array,
     input_hw: tuple[int, int],
+    seg_class_gains: tuple[float, ...] | None = None,
 ) -> dict[str, Array]:
     """Per-image YOLOv8-seg loss."""
     box_logits, cls_logits, coefs = raw_flat  # (A, 64), (A, nc), (A, nm)
@@ -164,8 +165,16 @@ def _loss_single(
     scale = jnp.array(
         [wm / input_hw[1], hm / input_hw[0], wm / input_hw[1], hm / input_hw[0]], jnp.float32
     )
+    # Optional per-class seg weighting: positives assigned to a GT of class c
+    # weigh gains[c] (stitch masks are the measured product output; fabric is
+    # near-saturated — see TRAINING.md). gains=None keeps the plain recipe.
+    anchor_w = None
+    if seg_class_gains is not None:
+        gains = jnp.asarray(seg_class_gains, jnp.float32)
+        anchor_w = gains[targets_classes[assign["assigned_gt"]]]
     loss_seg = seg_loss(
-        coefs, protos, targets_masks, targets_boxes * scale, assign["assigned_gt"], pos
+        coefs, protos, targets_masks, targets_boxes * scale, assign["assigned_gt"], pos,
+        anchor_weights=anchor_w,
     )
 
     return {
@@ -183,12 +192,17 @@ def make_train_step(
     mesh: Mesh | None = None,
     ema_decay: float = 0.999,
     ema_tau: float = 2000.0,
+    seg_class_gains: list[float] | tuple[float, ...] | None = None,
 ):
     """Build the jitted DP train step.
 
     With a mesh: donate state, shard the batch on 'data', replicate state via
     out_shardings — XLA inserts the gradient all-reduce.
+
+    seg_class_gains: optional per-class seg-loss gains (index = class id);
+    None keeps the plain YOLOv8 recipe. `tti train --stitch-seg-gain` sets it.
     """
+    gains = tuple(seg_class_gains) if seg_class_gains is not None else None
 
     def loss_fn(params, batch_stats, images, targets: Targets):
         raw, updates = model.apply(
@@ -202,7 +216,8 @@ def make_train_step(
 
         per_image = jax.vmap(
             lambda bf, cf, mf, pr, tb, tc, tm, tv: _loss_single(
-                (bf, cf, mf), pr, anchors, stride_per_anchor, tb, tc, tm, tv, input_hw
+                (bf, cf, mf), pr, anchors, stride_per_anchor, tb, tc, tm, tv,
+                input_hw, seg_class_gains=gains,
             )
         )(
             box_f, cls_f, coef_f, raw.protos,
