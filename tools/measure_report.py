@@ -382,13 +382,16 @@ def run_pipeline(frames: np.ndarray, weights: str, *, undistort: bool,
     variant = meta.get("variant", "n")
     nc = meta.get("num_classes", 2)
     mask_stride = meta.get("mask_stride", 4)
+    proto_head = meta.get("proto_head", "deconv")
     model = create_model(variant, nc=nc, mask_stride=mask_stride,
+                         proto_head=proto_head,
                          dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     template = init_variables(model, image_size=64)
     variables = load_checkpoint(weights, template)
     calib = CalibrationData(K=REF_K, dist=REF_DIST, rvec=REF_RVEC, tvec=REF_TVEC)
     cfg = ModelConfig(variant=variant, num_classes=nc, image_size=imgsz,
-                      dtype=dtype, mask_stride=mask_stride)
+                      dtype=dtype, mask_stride=mask_stride,
+                      proto_head=proto_head)
     pipe = InspectionPipeline(
         model_cfg=cfg, variables=variables, frame_hw=FRAME_HW, calibration=calib,
         model=model, measure_cfg=MeasureConfig(), undistort=undistort,
@@ -428,7 +431,7 @@ def error_stats(measured: np.ndarray, truth: np.ndarray) -> dict:
     }
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", required=True)
     ap.add_argument("--scenes", type=int, default=256)
@@ -445,7 +448,7 @@ def main() -> None:
                          "and median-smooth like the production ring "
                          "(reference FRAME_BUFFER=8, measurement.py:474-484)")
     ap.add_argument("--smoothed-scenes", type=int, default=48)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     t0 = time.time()
     mapper = PlaneMapper()

@@ -35,7 +35,7 @@ from test_predict_parity import _mask_iou_np as mask_iou  # noqa: E402
 from test_predict_parity import _textured_frame as textured_frame  # noqa: E402
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--imgsz", type=int, default=960)
@@ -62,7 +62,7 @@ def main() -> None:
                     "scheme (per-channel int8 weights, dynamic per-sample "
                     "activation quant) against the same float oracle — "
                     "quantifies the PTQ deviation at deployment geometry")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if args.out is None:
         args.out = "PARITY_REPORT.md" if args.weights else "PARITY_DESIGN.md"
 
@@ -103,9 +103,16 @@ def main() -> None:
         from tti.model.convert import load_checkpoint, to_torch_state_dict
         from tti.model.yolo import init_variables
 
-        template = init_variables(create_model("n", nc=2), image_size=64)
+        from tti.model.convert import checkpoint_metadata
+
+        # Sidecar-driven architecture (tti validate-reference converts
+        # arbitrary-variant reference .pts; default = the deployment n/2).
+        meta = checkpoint_metadata(args.weights)
+        variant = meta.get("variant", "n")
+        nc = meta.get("num_classes", 2)
+        template = init_variables(create_model(variant, nc=nc), image_size=64)
         variables = load_checkpoint(args.weights, template)
-        tmodel = TorchYOLOv8Seg("n", nc=2)
+        tmodel = TorchYOLOv8Seg(variant, nc=nc)
         tmodel.load_state_dict(
             {k: torch.from_numpy(np.ascontiguousarray(v))
              for k, v in to_torch_state_dict(variables).items()},
@@ -121,7 +128,8 @@ def main() -> None:
             y0, x0 = (scene.shape[0] - h) // 2, (scene.shape[1] - w) // 2
             return np.ascontiguousarray(scene[y0:y0 + h, x0:x0 + w])
     else:
-        tmodel = make_detecting_model("n", nc=2, seed=args.seed)
+        variant, nc = "n", 2
+        tmodel = make_detecting_model(variant, nc=nc, seed=args.seed)
         variables = convert_torch_state_dict(tmodel.state_dict())
 
         def make_frame(h: int, w: int, seed: int) -> np.ndarray:
@@ -130,9 +138,13 @@ def main() -> None:
     # Two deployment-scale geometries: the reference's 1280x960 frames (0.75
     # resample — includes the documented cv2-u8 vs float resize difference) and
     # an identity-scale 960x736 frame (no resample: every stage bit-comparable).
+    # Identity geometry = the rect-letterboxed input of a 4:3 frame at this
+    # imgsz (960 -> 736x960, the deployment shape) — frame == model input, so
+    # no resample and every stage is bit-comparable.
+    ident_h = (args.imgsz * 3 // 4 + 31) // 32 * 32
     geometries = [
         ("resample-0.75", (args.frame_h, args.frame_w)),
-        ("identity-scale", (736, 960)),
+        ("identity-scale", (ident_h, args.imgsz)),
     ]
     dtypes = ["float32", "bfloat16"]
     if args.quant:
@@ -147,7 +159,7 @@ def main() -> None:
     for geo_name, frame_hw in geometries:
       for dtype in dtypes:
         cfg = ModelConfig(
-            variant="n", num_classes=2, image_size=args.imgsz, letterbox="rect",
+            variant=variant, num_classes=nc, image_size=args.imgsz, letterbox="rect",
             dtype="float32" if dtype == "int8-w8a8" else dtype,
             conf_thresh=0.20, iou_thresh=0.25,
             max_detections=args.max_det, nms_pre_topk=args.pre_topk,
@@ -156,11 +168,11 @@ def main() -> None:
             # f32 carriers isolate the PTQ error itself (production composes
             # it with bf16; the bf16 row above bounds that part).
             pvars, pmodel = variables_q, YOLOv8Seg(
-                variant="n", nc=2, dtype=jnp.float32, folded_bn=True,
+                variant=variant, nc=nc, dtype=jnp.float32, folded_bn=True,
                 qmode="int8")
         else:
             jdt = jnp.float32 if dtype == "float32" else jnp.bfloat16
-            pvars, pmodel = variables, create_model("n", nc=2, dtype=jdt)
+            pvars, pmodel = variables, create_model(variant, nc=nc, dtype=jdt)
         predictor = Predictor(cfg, pvars, frame_hw, mask_topk=args.max_det,
                               model=pmodel)
         print(f"[{geo_name}/{dtype}] input geometry: {predictor.spec}", file=sys.stderr)

@@ -108,6 +108,9 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
                     help="proto grid stride (2 = hi-res deploy arch)")
+    ap.add_argument("--proto-head", default="deconv",
+                    choices=["deconv", "subpixel"],
+                    help="mask_stride=2 second stage architecture")
     args = ap.parse_args()
 
     import jax
@@ -128,13 +131,15 @@ def main() -> None:
         rvec=np.array([-0.863, -0.392, -1.359]),
         tvec=np.array([0.005, 0.036, 0.094]))
     model_cfg = ModelConfig(variant="n", num_classes=2, image_size=args.imgsz,
-                            dtype="bfloat16", mask_stride=args.mask_stride)
+                            dtype="bfloat16", mask_stride=args.mask_stride,
+                            proto_head=args.proto_head)
     from tti.model.yolo import create_model
     pipeline = InspectionPipeline(
         model_cfg=model_cfg,
         variables=init_variables(
             create_model("n", nc=2, dtype=jnp.bfloat16,
-                         mask_stride=args.mask_stride),
+                         mask_stride=args.mask_stride,
+                         proto_head=args.proto_head),
             image_size=args.imgsz),
         frame_hw=(args.frame_h, args.frame_w),
         calibration=calib, measure_cfg=MeasureConfig(),

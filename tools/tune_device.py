@@ -59,7 +59,8 @@ EXACT_TRIALS = {t for t, env in TRIALS if "TTI_APPROX_TOPK" not in env
 
 
 def build_pipeline(batch: int, imgsz: int, frame_hw: tuple[int, int],
-                   variant: str, dtype: str, mask_stride: int = 4):
+                   variant: str, dtype: str, mask_stride: int = 4,
+                   proto_head: str = "deconv"):
     import jax.numpy as jnp
 
     from tti.calib.io import CalibrationData
@@ -82,9 +83,11 @@ def build_pipeline(batch: int, imgsz: int, frame_hw: tuple[int, int],
         rvec=np.array([-0.8631369244225452, -0.3919482615538663, -1.3591256137314185]),
         tvec=np.array([0.005016396186926285, 0.03590342712705542, 0.09382141278570659]))
     jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    model = create_model(variant, nc=2, dtype=jdt, mask_stride=mask_stride)
+    model = create_model(variant, nc=2, dtype=jdt, mask_stride=mask_stride,
+                         proto_head=proto_head)
     cfg = ModelConfig(variant=variant, num_classes=2, image_size=imgsz,
-                      dtype=dtype, mask_stride=mask_stride)
+                      dtype=dtype, mask_stride=mask_stride,
+                      proto_head=proto_head)
     return InspectionPipeline(
         model_cfg=cfg, variables=init_variables(model, image_size=imgsz),
         frame_hw=frame_hw, calibration=calib, measure_cfg=MeasureConfig(),
@@ -104,7 +107,8 @@ class TrialResult:
 
 def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
               frame_hw: tuple[int, int], variant: str, dtype: str,
-              iters: int, lat_iters: int, mask_stride: int = 4) -> TrialResult:
+              iters: int, lat_iters: int, mask_stride: int = 4,
+              proto_head: str = "deconv") -> TrialResult:
     import jax.numpy as jnp
 
     for g in GATES:
@@ -113,7 +117,7 @@ def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
     try:
         t0 = time.perf_counter()
         pipe = build_pipeline(batch, imgsz, frame_hw, variant, dtype,
-                              mask_stride=mask_stride)
+                              mask_stride=mask_stride, proto_head=proto_head)
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, size=(batch, *frame_hw, 3), dtype=np.uint8)
         frames_dev = pipe.prepare_frames(frames)
@@ -140,7 +144,11 @@ def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
             t1 = time.perf_counter()
             sync(pipe._step(pipe.variables, frames_dev))
             lats.append(time.perf_counter() - t1)
-        p50 = float(np.median(lats)) * 1e3
+        # Subtract the measured sync round-trip (same correction as bench.py):
+        # on relayed transports the scalar fetch costs tens of ms and is NOT
+        # part of the device latency a direct-PCIe deployment would see —
+        # without it the p50 column measures the tunnel, not the program.
+        p50 = max(float(np.median(lats)) - roundtrip, 0.0) * 1e3
         res = TrialResult(name, batch, fps, p50, compile_s)
     except Exception as e:  # a gate may be unsupported on this toolchain
         res = TrialResult(name, batch, 0.0, float("inf"), 0.0,
@@ -162,6 +170,9 @@ def main(argv=None) -> None:
     ap.add_argument("--variant", default="n")
     ap.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
                     help="proto-head stride (2 = the hi-res deploy arch)")
+    ap.add_argument("--proto-head", default="deconv",
+                    choices=["deconv", "subpixel"],
+                    help="mask_stride=2 second stage architecture")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--lat-iters", type=int, default=15)
@@ -188,7 +199,8 @@ def main(argv=None) -> None:
         for name, env in trials:
             r = run_trial(name, env, batch, args.imgsz, frame_hw,
                           args.variant, args.dtype, args.iters, args.lat_iters,
-                          mask_stride=args.mask_stride)
+                          mask_stride=args.mask_stride,
+                          proto_head=args.proto_head)
             results.append(r)
             if r.error:
                 print(f"[batch {batch:4d}] {name:28s} FAILED: {r.error}",

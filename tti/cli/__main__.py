@@ -374,6 +374,130 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_validate_reference(args) -> int:
+    """One-shot validation of the reference's real trained weights, for the
+    day ``best_Model.pt`` / ``single_needle_model.pt`` (reference:
+    config.py:67, measurement.py:145) become available: convert -> strict
+    structural load report -> full predict-chain parity vs the torch oracle
+    at the deployment geometry -> mm measure-report (and optional mAP eval)
+    with the converted checkpoint. Artifacts land in --out-dir."""
+    import json
+
+    import numpy as np
+    import torch
+
+    from tti.model.convert import (
+        convert_torch_state_dict, save_checkpoint, verify_tree_shapes,
+    )
+    from tti.model.yolo import create_model, init_variables, model_channels
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    obj = torch.load(args.pt, map_location="cpu", weights_only=False)
+    state_dict = obj
+    if hasattr(obj, "state_dict"):
+        state_dict = obj.state_dict()
+    elif isinstance(obj, dict):
+        for key in ("model", "ema", "state_dict"):
+            if key in obj:
+                inner = obj[key]
+                state_dict = inner.state_dict() if hasattr(inner, "state_dict") else inner
+                break
+    variables = convert_torch_state_dict(state_dict)
+
+    # Infer the architecture from the converted tree (the .pt carries no
+    # sidecar): width scale from the m1 conv's output channels, class count
+    # from the class-branch exit bias. Ultralytics exports are always /4
+    # proto stride.
+    try:
+        c128 = int(np.shape(variables["params"]["m1"]["conv"]["kernel"])[-1])
+        nc = int(np.shape(variables["params"]["m22"]["cv3_0_2"]["bias"])[0])
+    except KeyError as e:
+        print(f"FAIL: converted tree is missing {e} — not an Ultralytics "
+              f"YOLOv8-seg state dict?")
+        return 1
+    variant = None
+    for cand in ("n", "s", "m", "l", "x"):
+        if model_channels(cand)["c128"] == c128:
+            variant = cand
+            break
+    if variant is None:
+        print(f"FAIL: no YOLOv8 variant has width {c128} at m1")
+        return 1
+    print(f"architecture: yolov8{variant}-seg, {nc} classes")
+
+    # Strict structural verification BOTH ways (missing + unexpected + shape).
+    template = init_variables(create_model(variant, nc=nc), image_size=64)
+    problems = [
+        p
+        for coll in ("params", "batch_stats")
+        for p in verify_tree_shapes(
+            variables.get(coll, {}), template[coll], path=coll
+        )
+    ]
+    report = {
+        "source_pt": args.pt,
+        "torch_keys": len(state_dict),
+        "variant": variant,
+        "num_classes": nc,
+        "strict_load_problems": problems,
+    }
+    with open(os.path.join(args.out_dir, "load_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    if problems:
+        print(f"FAIL: {len(problems)} structural problems "
+              f"(see {args.out_dir}/load_report.json):")
+        for p in problems[:10]:
+            print("  ", p)
+        return 1
+    print(f"strict load OK: {len(state_dict)} torch keys -> tti tree, "
+          f"0 problems")
+
+    ckpt = os.path.join(args.out_dir, args.name)
+    save_checkpoint(
+        variables, ckpt,
+        metadata={"source": args.pt, "variant": variant, "num_classes": nc,
+                  "imgsz_trained": 960, "mask_stride": 4,
+                  "recipe": "converted from reference .pt "
+                            "(tti validate-reference)"},
+    )
+    print("checkpoint:", ckpt)
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+
+    # Predict-chain parity vs the torch oracle at the deployment geometry
+    # (1280x960 frames, imgsz 960 — reference config.py:59-60,
+    # measurement.py:210). parity_report exits nonzero below the gates.
+    if not args.skip_parity:
+        from tools.parity_report import main as parity_main
+
+        parity_out = os.path.join(args.out_dir, "PARITY_REFERENCE.md")
+        rc = parity_main(["--weights", ckpt, "--frames", str(args.frames),
+                          "--imgsz", str(args.imgsz),
+                          "--frame-h", str(args.frame_h),
+                          "--frame-w", str(args.frame_w),
+                          "--out", parity_out]) or 0
+        print(f"parity report: {parity_out}")
+        if rc:
+            return rc
+
+    # mm accuracy through the production chain (analytic plane-truth scenes).
+    if not args.skip_measure:
+        from tools.measure_report import main as measure_main
+
+        measure_out = os.path.join(args.out_dir, "MEASURE_REFERENCE.md")
+        measure_main(["--weights", ckpt, "--scenes", str(args.scenes),
+                      "--imgsz", str(args.imgsz), "--out", measure_out])
+        print(f"measure report: {measure_out}")
+
+    # Optional mAP eval on a labeled dataset of real frames.
+    if args.images:
+        return main(["eval", "--images", args.images, "--weights", ckpt,
+                     "--imgsz", str(args.imgsz)])
+    return 0
+
+
 def _show_loop(source, window: str, on_no_frame: str = "break") -> int:
     """Shared read/imshow/'q' loop for the live-view tools. on_no_frame:
     'break' exits on the first failed read (reference Utils/usb_camera.py
@@ -697,7 +821,8 @@ def cmd_tune_device(args) -> int:
             "--frame-h", str(args.frame_h), "--frame-w", str(args.frame_w),
             "--variant", args.variant, "--dtype", args.dtype,
             "--iters", str(args.iters), "--out", args.out,
-            "--mask-stride", str(args.mask_stride)]
+            "--mask-stride", str(args.mask_stride),
+            "--proto-head", args.proto_head]
     if args.trials:
         argv += ["--trials", args.trials]
     if args.allow_approx:
@@ -787,6 +912,30 @@ def main(argv: list[str] | None = None) -> int:
                         "device-side (HBM-resident) pipeline")
     p.set_defaults(func=cmd_train)
 
+    p = sub.add_parser(
+        "validate-reference",
+        help="one-shot validation of the reference's trained .pt: convert "
+             "-> strict load report -> torch-oracle parity -> measure "
+             "report (run this the day best_Model.pt arrives)")
+    p.add_argument("--pt", required=True, help="path to the reference .pt")
+    p.add_argument("--out-dir", default="validation")
+    p.add_argument("--name", default="reference_model.msgpack",
+                   help="converted checkpoint filename inside --out-dir")
+    p.add_argument("--frames", type=int, default=8,
+                   help="parity frames at the deployment geometry")
+    p.add_argument("--scenes", type=int, default=64,
+                   help="analytic scenes for the mm measure report")
+    p.add_argument("--imgsz", type=int, default=960,
+                   help="model input size (960 = deployment geometry, "
+                        "reference measurement.py:210)")
+    p.add_argument("--frame-h", type=int, default=960)
+    p.add_argument("--frame-w", type=int, default=1280)
+    p.add_argument("--images", default="",
+                   help="optional labeled real-frame dataset for an mAP eval")
+    p.add_argument("--skip-parity", action="store_true")
+    p.add_argument("--skip-measure", action="store_true")
+    p.set_defaults(func=cmd_validate_reference)
+
     p = sub.add_parser("view", help="live camera view")
     p.set_defaults(func=cmd_view)
 
@@ -816,6 +965,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--variant", default="n")
     p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4],
                    help="proto-head stride (2 = the hi-res deploy arch)")
+    p.add_argument("--proto-head", default="deconv",
+                   choices=["deconv", "subpixel"])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--trials", default="", help="comma list (default: all)")
