@@ -584,19 +584,32 @@ def cmd_eval(args) -> int:
         log.info("loaded weights from %s", cfg.model.weights)
     else:
         log.warning("weights %r not found — using random init", cfg.model.weights)
-    if os.environ.get("TTI_QUANT", "") == "int8":
+    quant = os.environ.get("TTI_QUANT", "")
+    if quant in ("int8", "int8s"):
         # Same gate as the production pipeline: measure the W8A8 mAP delta
         # with the identical quantization the deployment would run.
         from tti.model.convert import fold_batchnorm
         from tti.model.quantize import quantize_weights
         from tti.model.yolo import YOLOv8Seg
 
-        variables = quantize_weights(fold_batchnorm(variables))
+        act_scales = None
+        if quant == "int8s":
+            import json
+
+            scales_path = os.environ.get("TTI_QUANT_SCALES", "")
+            if not scales_path or not os.path.exists(scales_path):
+                raise SystemExit(
+                    "TTI_QUANT=int8s needs TTI_QUANT_SCALES=<json from "
+                    "tools/calibrate_int8.py>")
+            with open(scales_path) as f:
+                act_scales = dict(json.load(f)["scales"])
+        variables = quantize_weights(fold_batchnorm(variables),
+                                     act_scales=act_scales)
         model = YOLOv8Seg(variant=cfg.model.variant, nc=cfg.model.num_classes,
-                          dtype=dtype, folded_bn=True, qmode="int8",
+                          dtype=dtype, folded_bn=True, qmode=quant,
                           mask_stride=cfg.model.mask_stride,
                           proto_head=cfg.model.proto_head)
-        log.info("evaluating with TTI_QUANT=int8 (W8A8 PTQ)")
+        log.info("evaluating with TTI_QUANT=%s (W8A8 PTQ)", quant)
     predictor = Predictor(cfg.model, variables, (args.imgsz, args.imgsz),
                           mask_topk=64, model=model, proto_masks=True)
 
@@ -764,7 +777,8 @@ def cmd_train(args) -> int:
         from tti.train.augment import build_device_dataset, make_augment_fn
 
         data = build_device_dataset(samples, args.imgsz, args.max_gt,
-                                    mask_stride=args.mask_stride)
+                                    mask_stride=args.mask_stride,
+                                    soft_masks=args.soft_masks)
         data = replicate(mesh, data) if mesh is not None else jax.device_put(data)
         augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh)
         key = jax.random.key(0)
@@ -781,7 +795,8 @@ def cmd_train(args) -> int:
     else:
         for imgs, targets in batches(samples, args.batch_size, args.imgsz,
                                      max_gt=args.max_gt, epochs=args.epochs,
-                                     mask_stride=args.mask_stride):
+                                     mask_stride=args.mask_stride,
+                                     soft_masks=args.soft_masks):
             x = jnp.asarray(imgs)
             if mesh is not None:
                 x = shard_batch(mesh, x)
@@ -907,6 +922,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="extra seg-loss weight on stitch-class positives "
                         "(>1 prioritizes the small-object stitch masks the "
                         "product measures; fabric keeps weight 1)")
+    p.add_argument("--soft-masks", action="store_true",
+                   help="area-occupancy mask targets (fractional boundary "
+                        "cells) instead of binary — lifts the deployed-chain "
+                        "mask ceiling on sub-cell objects; MASK_CEILING.md")
     p.add_argument("--host-aug", action="store_true",
                    help="cv2 host-side augmentation instead of the default "
                         "device-side (HBM-resident) pipeline")

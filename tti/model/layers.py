@@ -69,14 +69,20 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
     pad: int | None = None
     folded: bool = False  # inference: BN folded into conv weights+bias
-    qmode: str = ""  # "" (float) | "int8" (W8A8 dynamic PTQ; requires folded)
+    # "" (float) | "int8" (W8A8, dynamic per-sample act scales) | "int8s"
+    # (W8A8, STATIC act scales calibrated offline — tti.model.quantize.
+    # calibrate_act_scales; removes the per-layer absmax reduce + quant/dequant
+    # HBM round-trips that made the dynamic variant lose its throughput A/B) |
+    # "calib" (float forward that records each block's input absmax for the
+    # static calibration). int8/int8s/calib all require folded BatchNorm.
+    qmode: str = ""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = autopad(self.k, self.d) if self.pad is None else self.pad
-        if self.qmode == "int8":
+        if self.qmode in ("int8", "int8s"):
             if not self.folded:
-                raise ValueError("qmode='int8' requires folded BatchNorm")
+                raise ValueError(f"qmode={self.qmode!r} requires folded BatchNorm")
             c1 = x.shape[-1]
             kq = self.param(
                 "qkernel", nn.initializers.zeros, (self.k, self.k, c1, self.c2),
@@ -86,7 +92,17 @@ class Conv(nn.Module):
                 "qscale", nn.initializers.ones, (self.c2,), jnp.float32
             )
             bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
-            xq, xscale = quantize_act_per_sample(x)
+            if self.qmode == "int8s":
+                # Calibrated per-tensor scale: a graph CONSTANT, so the
+                # quantize step fuses into the producer and no reduction or
+                # extra activation pass hits HBM.
+                xscale = self.param("ascale", nn.initializers.ones, (),
+                                    jnp.float32)
+                xf = x.astype(jnp.float32)
+                xq = jnp.clip(jnp.round(xf / xscale), -127.0, 127.0
+                              ).astype(jnp.int8)
+            else:
+                xq, xscale = quantize_act_per_sample(x)
             y = jax.lax.conv_general_dilated(
                 xq,
                 kq,
@@ -98,6 +114,16 @@ class Conv(nn.Module):
             )
             y = (y.astype(jnp.float32) * (xscale * wscale) + bias).astype(self.dtype)
             return nn.silu(y) if self.act else y
+        if self.qmode == "calib":
+            # Float forward + record this block's input absmax (the statistic
+            # the static int8 path quantizes against). reduce_fn folds repeat
+            # applications (scan/chunking) into one running max.
+            if not self.folded:
+                raise ValueError("qmode='calib' requires folded BatchNorm")
+            self.sow("quant_calib", "absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
         x = nn.Conv(
             self.c2,
             (self.k, self.k),

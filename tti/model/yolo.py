@@ -206,7 +206,9 @@ class YOLOv8Seg(nn.Module):
     s2d_input: bool = False
     fused_head_entry: bool = False
     folded_bn: bool = False  # expects fold_batchnorm-transformed params
-    qmode: str = ""  # '' | 'int8' (W8A8 PTQ; expects quantize_weights params)
+    # '' | 'int8' (W8A8, dynamic act scales) | 'int8s' (W8A8, static calibrated
+    # act scales) | 'calib' (float + absmax recording). See tti.model.quantize.
+    qmode: str = ""
     mask_stride: int = 4  # 4 = Ultralytics proto grid; 2 = hi-res proto head
     proto_head: str = "deconv"  # hi-res second stage: "deconv" | "subpixel"
 

@@ -128,11 +128,14 @@ class InspectionPipeline:
             # 8.7 vs 16.7 ms) -> default ON; TTI_FOLDED_BN=0 opts out.
             fold_bn = os.environ.get("TTI_FOLDED_BN", "1") != "0"
             # W8A8 int8 PTQ (tti.model.quantize): per-channel int8 weights +
-            # dynamic per-sample activation quantization; the v5e MXU runs
-            # s8xs8->s32 convs at 2x its bf16 rate. Opt-in pending the TPU A/B.
+            # either dynamic per-sample activation scales ("int8") or STATIC
+            # scales calibrated offline ("int8s" — tools/calibrate_int8.py,
+            # removes the per-layer absmax reductions + quant/dequant HBM
+            # round-trips the dynamic A/B lost on). Opt-in via env.
             quant = os.environ.get("TTI_QUANT", "")
-            if quant not in ("", "int8"):
-                raise ValueError(f"TTI_QUANT must be '' or 'int8', got {quant!r}")
+            if quant not in ("", "int8", "int8s"):
+                raise ValueError(
+                    f"TTI_QUANT must be '', 'int8' or 'int8s', got {quant!r}")
             # TwoPassWarp can emit the frame already space-to-depth blocked
             # (s2d_out), removing the stem's (B, H/2, 2, W/2, 2, C) relayout
             # copy and the letterbox pad op from the step. Measured at the
@@ -150,10 +153,31 @@ class InspectionPipeline:
                 variables = fold_batchnorm(variables)
             if quant:
                 if not fold_bn:
-                    raise ValueError("TTI_QUANT=int8 requires folded BN (TTI_FOLDED_BN=1)")
+                    raise ValueError(
+                        f"TTI_QUANT={quant} requires folded BN (TTI_FOLDED_BN=1)")
+                if fuse_head:
+                    raise ValueError(
+                        f"TTI_QUANT={quant} + TTI_FUSED_HEAD=1 is unsupported "
+                        "(no calibration path for the fused entries)")
                 from tti.model.quantize import quantize_weights
 
-                variables = quantize_weights(variables)
+                act_scales = None
+                if quant == "int8s":
+                    scales_path = os.environ.get("TTI_QUANT_SCALES", "")
+                    if not scales_path or not os.path.exists(scales_path):
+                        raise ValueError(
+                            "TTI_QUANT=int8s needs TTI_QUANT_SCALES=<json from "
+                            "tools/calibrate_int8.py> (per-block activation "
+                            f"scales); got {scales_path!r}")
+                    import json
+
+                    with open(scales_path) as f:
+                        act_scales = dict(json.load(f)["scales"])
+                    # Calibration runs the plain-stem model; this pipeline runs
+                    # the (numerically identical, relabeled) s2d stem.
+                    if "m0" in act_scales and "m0s2d" not in act_scales:
+                        act_scales["m0s2d"] = act_scales.pop("m0")
+                variables = quantize_weights(variables, act_scales=act_scales)
             model = YOLOv8Seg(
                 variant=model_cfg.variant, nc=model_cfg.num_classes, dtype=dtype,
                 s2d_stem=True, s2d_input=warp_s2d, fused_head_entry=fuse_head,
