@@ -48,8 +48,13 @@ class DeviceDataset:
     images: Array  # (N, S, S, 3) uint8 RGB
     boxes: Array  # (N, G, 4) f32 xyxy px at S
     classes: Array  # (N, G) int32
-    masks: Array  # (N, G, Sm, Sm) uint8, proto res (S/mask_stride)
+    masks: Array  # (N, G, Sm, Sm) uint8, proto res (S/mask_stride); 0/1
+    #               cells by default, 0..255 occupancy fractions when soft
     valid: Array  # (N, G) bool
+    # Static (non-pytree) flag: masks hold u8-quantized area-occupancy
+    # FRACTIONS (soft targets) instead of 0/1 cells. Changes how the augment
+    # resamples them (no threshold) — part of the jit cache key by design.
+    soft: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def imgsz(self) -> int:
@@ -57,9 +62,15 @@ class DeviceDataset:
 
 
 def build_device_dataset(samples, imgsz: int, max_gt: int,
-                         mask_stride: int = 4) -> DeviceDataset:
-    """Decode + rasterize the dataset ONCE on host, upload to device."""
-    from tti.train.data import _load_resized_u8, rasterize_polygon
+                         mask_stride: int = 4,
+                         soft_masks: bool = False) -> DeviceDataset:
+    """Decode + rasterize the dataset ONCE on host, upload to device.
+
+    soft_masks: store area-occupancy fractions (rasterize_polygon_soft,
+    quantized to u8 — same HBM footprint) instead of binary cells. See the
+    soft-target rationale in tti.train.data.rasterize_polygon_soft."""
+    from tti.train.data import (_load_resized_u8, rasterize_polygon,
+                                rasterize_polygon_soft)
 
     n = len(samples)
     sm = imgsz // mask_stride
@@ -75,12 +86,16 @@ def build_device_dataset(samples, imgsz: int, max_gt: int,
             boxes[i, g] = [p[:, 0].min() * imgsz, p[:, 1].min() * imgsz,
                            p[:, 0].max() * imgsz, p[:, 1].max() * imgsz]
             classes[i, g] = cls
-            masks[i, g] = rasterize_polygon(p, (sm, sm)).astype(np.uint8)
+            if soft_masks:
+                frac = rasterize_polygon_soft(p, (sm, sm), mask_stride)
+                masks[i, g] = np.round(frac * 255.0).astype(np.uint8)
+            else:
+                masks[i, g] = rasterize_polygon(p, (sm, sm)).astype(np.uint8)
             valid[i, g] = True
     return DeviceDataset(
         images=jnp.asarray(images), boxes=jnp.asarray(boxes),
         classes=jnp.asarray(classes), masks=jnp.asarray(masks),
-        valid=jnp.asarray(valid),
+        valid=jnp.asarray(valid), soft=soft_masks,
     )
 
 
@@ -251,6 +266,11 @@ def _augment_one(
     # nearest-equivalent away from exact ties.
     def one_mask(tile: Array, slot: Array, ok: Array) -> Array:
         src = data.masks[idx[tile], slot].astype(jnp.float32)  # (Sm, Sm)
+        if data.soft:
+            # u8-quantized occupancy fractions: linear resampling of a
+            # fraction field IS the (approximate) occupancy under the affine;
+            # no threshold — fractional boundary cells are the signal.
+            src = src * (1.0 / 255.0)
         # proto pixel p centers at model px q*p+(q-1)/2 on BOTH grids; the
         # -q/2 folds the two half-pixel conventions ((q-1)/2 + 0.5; verified
         # exact at identity, q=4 reproduces the original -2.0 / /4 / s/8).
@@ -264,8 +284,9 @@ def _augment_one(
             translation=jnp.stack([-sc * (c_y + 0.5), -sc * (c_x + 0.5)]),
             method="linear", antialias=False,
         )[..., 0]
-        m = (m > 0.5).astype(jnp.float32)
-        return jnp.where(ok, m, 0.0)
+        if not data.soft:
+            m = (m > 0.5).astype(jnp.float32)
+        return jnp.where(ok, jnp.clip(m, 0.0, 1.0), 0.0)
 
     sel_masks = jax.vmap(one_mask)(sel_tile, sel_slot, sel_valid)
     # Output-array flip == flipping the sample positions: index xm then holds

@@ -101,6 +101,22 @@ def rasterize_polygon(poly_norm: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     return mask
 
 
+def rasterize_polygon_soft(poly_norm: np.ndarray, hw: tuple[int, int],
+                           factor: int) -> np.ndarray:
+    """Area-occupancy raster: binary raster at (h*factor, w*factor), exact
+    box-filter down to hw — each cell holds the FRACTION of it inside the
+    polygon. This is tools/proto_ceiling.py's soft-oracle definition (factor =
+    mask_stride reproduces its full-res-then-area_downsample chain exactly).
+
+    Why: the deployed mask chain bilinear-upsamples proto logits and
+    thresholds at 0.5, so a calibrated fractional boundary cell places the
+    boundary at SUB-CELL accuracy — the binary-target ceiling on
+    camera-domain stitch AP is 0.605-0.646 (below the 0.65 bar) while the
+    soft-target ceiling is 0.715-0.756 (MASK_CEILING.md)."""
+    full = rasterize_polygon(poly_norm, (hw[0] * factor, hw[1] * factor))
+    return full.reshape(hw[0], factor, hw[1], factor).mean(axis=(1, 3))
+
+
 _IMAGE_CACHE: dict[tuple[str, int], np.ndarray] = {}
 _IMAGE_CACHE_MAX_BYTES = 2 << 30  # ~2 GB of decoded u8 (mosaic re-reads every
 _image_cache_bytes = 0            # image ~4x/epoch; decode+resize dominates)
@@ -140,11 +156,12 @@ def load_image(path: str, imgsz: int) -> np.ndarray:
 
 def scene_to_targets(
     image: np.ndarray, polygons: list[np.ndarray], classes: list[int],
-    imgsz: int, max_gt: int, mask_stride: int = 4,
+    imgsz: int, max_gt: int, mask_stride: int = 4, soft_masks: bool = False,
 ) -> tuple[np.ndarray, dict]:
     """(image [0,1] float (S,S,3), normalized polygons) -> padded Targets dict.
     Degenerate GT (clipped away by augmentation) is dropped. Masks rasterize
-    on the model's proto grid (imgsz/mask_stride)."""
+    on the model's proto grid (imgsz/mask_stride) — binary cells by default,
+    fractional area-occupancy cells with soft_masks (rasterize_polygon_soft)."""
     hm = wm = imgsz // mask_stride
     boxes = np.zeros((max_gt, 4), np.float32)
     out_classes = np.zeros((max_gt,), np.int32)
@@ -170,7 +187,8 @@ def scene_to_targets(
             p[:, 0].max() * imgsz, p[:, 1].max() * imgsz,
         ]
         out_classes[n_kept] = cls
-        masks[n_kept] = rasterize_polygon(p, (hm, wm))
+        masks[n_kept] = (rasterize_polygon_soft(p, (hm, wm), mask_stride)
+                         if soft_masks else rasterize_polygon(p, (hm, wm)))
         valid[n_kept] = True
         src_index[n_kept] = src_i
         n_kept += 1
@@ -180,7 +198,7 @@ def scene_to_targets(
 
 def sample_to_targets(
     sample: Sample, imgsz: int, max_gt: int, hflip: bool = False,
-    mask_stride: int = 4,
+    mask_stride: int = 4, soft_masks: bool = False,
 ) -> tuple[np.ndarray, dict]:
     image = load_image(sample.image_path, imgsz)
     polys = [p.copy() for p in sample.polygons]
@@ -189,7 +207,7 @@ def sample_to_targets(
         for p in polys:
             p[:, 0] = 1.0 - p[:, 0]
     return scene_to_targets(image, polys, sample.classes, imgsz, max_gt,
-                            mask_stride=mask_stride)
+                            mask_stride=mask_stride, soft_masks=soft_masks)
 
 
 # ---------------------------------------------------------------------------
@@ -310,6 +328,7 @@ def batches(
     augment: bool = True,
     epochs: int | None = None,
     mask_stride: int = 4,
+    soft_masks: bool = False,
 ) -> Iterator[tuple[np.ndarray, Targets]]:
     """Shuffled, padded (images (B,S,S,3), Targets) batches, forever unless
     ``epochs`` bounds it."""
@@ -340,10 +359,12 @@ def batches(
                         samples, np.concatenate([[idx], others]), imgsz, rng
                     )
                     img, t = scene_to_targets(img, polys, cls, imgsz, max_gt,
-                                              mask_stride=mask_stride)
+                                              mask_stride=mask_stride,
+                                              soft_masks=soft_masks)
                 else:
                     img, t = sample_to_targets(samples[idx], imgsz, max_gt,
-                                               mask_stride=mask_stride)
+                                               mask_stride=mask_stride,
+                                               soft_masks=soft_masks)
                 imgs.append(img)
                 tgts.append(t)
             stack = {k: np.stack([t[k] for t in tgts]) for k in tgts[0]}
