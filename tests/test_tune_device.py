@@ -28,6 +28,34 @@ def test_tune_device_baseline_trial(tmp_path):
         assert g not in os.environ
 
 
+def test_tune_device_crossover_line(tmp_path, monkeypatch):
+    """The latency winner's recommendation names the measured batch range it
+    wins in (the crossover bound), not just the smallest tuned batch."""
+    import tools.tune_device as td
+
+    canned = {
+        ("baseline", 1): (100.0, 30.0),
+        ("baseline", 16): (400.0, 40.0),
+        ("baseline", 128): (1600.0, 50.0),
+        ("warp_blocked=64", 1): (290.0, 20.0),
+        ("warp_blocked=64", 16): (380.0, 25.0),
+        ("warp_blocked=64", 128): (1300.0, 45.0),
+    }
+
+    def fake_trial(name, env, batch, *a, **k):
+        fps, p50 = canned[(name, batch)]
+        return td.TrialResult(name, batch, fps, p50, 0.0)
+
+    monkeypatch.setattr(td, "run_trial", fake_trial)
+    out = str(tmp_path / "tune.env")
+    td.main(["--batches", "1,16,128", "--trials", "baseline,warp_blocked=64",
+             "--out", out])
+    text = open(out).read()
+    assert "latency winner at batch 1: warp_blocked=64" in text
+    assert "wins at batch <= 1" in text
+    assert "crossover inside (1, 16)" in text
+
+
 def test_tune_device_failed_trial_reported(tmp_path, monkeypatch):
     import tools.tune_device as td
 

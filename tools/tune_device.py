@@ -238,6 +238,25 @@ def main(argv=None) -> None:
                      f"deployments use instead:")
         for k, v in env_of[best_lat.name].items():
             lines.append(f"# {k}={v}")
+        # Crossover: bound the batch range where the latency winner actually
+        # beats baseline, so the small-batch recommendation is measured, not
+        # extrapolated below the tuned points (sweep more batches to tighten).
+        base = {r.batch: r for r in results
+                if r.name == "baseline" and r.error is None}
+        mine = {r.batch: r for r in results
+                if r.name == best_lat.name and r.error is None}
+        shared = sorted(set(base) & set(mine))
+        wins = [b for b in shared if mine[b].fps > base[b].fps]
+        if wins and len(shared) > 1:
+            losses = [b for b in shared if b not in wins]
+            hi = min((b for b in losses if b > max(wins)), default=None)
+            if hi is None:
+                lines.append(f"# {best_lat.name} beats baseline at every "
+                             f"measured batch ({shared[0]}..{shared[-1]})")
+            else:
+                lines.append(f"# {best_lat.name} wins at batch <= {max(wins)}"
+                             f"; baseline wins from batch {hi} up "
+                             f"(crossover inside ({max(wins)}, {hi}))")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(args.out + ".json", "w") as f:
