@@ -394,7 +394,13 @@ def run_pipeline(frames: np.ndarray, weights: str, *, undistort: bool,
                       proto_head=proto_head)
     pipe = InspectionPipeline(
         model_cfg=cfg, variables=variables, frame_hw=FRAME_HW, calibration=calib,
-        model=model, measure_cfg=MeasureConfig(), undistort=undistort,
+        model=model,
+        # TTI_SUBCELL_EDGE=1 measures with the occupancy-aware sub-cell
+        # boundary readout (for soft-mask-trained checkpoints).
+        measure_cfg=MeasureConfig(
+            subcell_edge=os.environ.get("TTI_SUBCELL_EDGE") == "1"
+        ),
+        undistort=undistort,
         # The deployment ROI (reference config.py:91-95).
         roi=RoiConfig(enabled=True, x_min=10, x_max=FRAME_HW[1] - 10,
                       y_min=300, y_max=FRAME_HW[0] - 200),

@@ -219,6 +219,17 @@ class MeasureConfig:
     max_stitches: int = 64  # fixed-shape padding budget for per-stitch arrays (TPU static shapes)
     max_stats_dets: int = 64  # top-score detections entering mask statistics (static slice)
     undistort_iters: int = 5  # fixed-point iterations; 5 == exact cv2.undistortPoints parity
+    # Occupancy-aware sub-cell boundary readout for soft-mask-trained nets
+    # (tti train --soft-masks): boundaries from the 0.5-crossing of the
+    # calibrated occupancy field instead of the eroding binary threshold.
+    # Default off = reference-exact binary semantics. Env: TTI_SUBCELL_EDGE=1.
+    subcell_edge: bool = False
+
+    @staticmethod
+    def from_env(env: Mapping[str, str]) -> "MeasureConfig":
+        return MeasureConfig(
+            subcell_edge=env_bool(env, "TTI_SUBCELL_EDGE", False),
+        )
 
 
 @dataclass(frozen=True)
@@ -391,6 +402,7 @@ def load_config(
         camera=camera,
         model=ModelConfig.from_env(merged),
         roi=RoiConfig.from_env(merged, camera.width, camera.height),
+        measure=MeasureConfig.from_env(merged),
         validation=ValidationConfig.from_env(merged),
         serial=SerialConfig.from_env(merged),
         database=DatabaseConfig.from_env(merged),

@@ -444,6 +444,112 @@ def instance_mask_stats_xla(
     return {"m00": m00, "m10": m10, "m01": m01, "col_any": col_any, "bottom": bottom}
 
 
+def instance_mask_stats_soft(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """Occupancy-aware (sub-cell) statistics for soft-mask-trained nets.
+
+    A net trained with area-occupancy targets (``tti train --soft-masks``)
+    calibrates each boundary proto cell's sigmoid to the fraction of the cell
+    the instance covers. The binary 0.5-threshold reductions above then ERODE
+    the mask by up to half a cell per side (every boundary cell under 50%
+    occupancy drops) — measured as -0.16 mm edge / -0.10 mm width bias at the
+    deployment geometry (STATUS.md round-4 "Soft-checkpoint mm tradeoff").
+    This variant reads the boundary POSITION out of the occupancy field
+    instead: the linear 0.5-crossing between adjacent cell probabilities.
+    In the NEAREST-upsample grid conventions used by the measure pipeline, a
+    crossing index c maps to input px at q*c + (q-1)/2 — the same mapping as
+    block centroids (pipeline._mask_center_to_frame).
+
+    Returns the binary contract dict PLUS:
+      m00s/m10s/m01s (D,)  — probability-weighted moments (calibrated area
+                             centroid; sub-cell, quantization-free)
+      bottom_sub (D, Wm)   — per-column lower-boundary crossing index
+                             (float; -1 where the column has no >=0.5 cell)
+      col_p (D, Wm)        — per-column max probability (width crossings are
+                             computed from it in the pipeline)
+
+    Dense XLA only: the measure path's default backend at production batch
+    (see instance_mask_stats); extending the Pallas kernels with the three
+    extra accumulators is queued behind a TPU A/B.
+    """
+    hm, wm, _ = protos.shape
+    logits = jnp.einsum(
+        "dc,hwc->dhw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ys = jnp.arange(hm, dtype=jnp.float32).reshape(1, hm, 1)
+    xs = jnp.arange(wm, dtype=jnp.float32).reshape(1, 1, wm)
+    inside = (
+        (xs >= boxes_grid[:, 0, None, None]) & (xs < boxes_grid[:, 2, None, None])
+        & (ys >= boxes_grid[:, 1, None, None]) & (ys < boxes_grid[:, 3, None, None])
+    ) & valid[:, None, None]
+    p = jnp.where(inside, jax.nn.sigmoid(logits), 0.0)  # (D, H, W)
+    mask = (p >= 0.5).astype(jnp.float32)
+
+    # Binary contract (identical semantics to instance_mask_stats_xla: the
+    # sigmoid>=0.5 test equals logits>0 up to the boundary tie, which has
+    # measure zero for trained weights).
+    m00 = jnp.sum(mask, axis=(1, 2))
+    m10 = jnp.sum(mask * xs, axis=(1, 2))
+    m01 = jnp.sum(mask * ys, axis=(1, 2))
+    col_any = jnp.max(mask, axis=1)
+    bottom = jnp.max(jnp.where(mask > 0, ys, -1.0), axis=1)
+
+    # Soft moments: probability-weighted sums.
+    m00s = jnp.sum(p, axis=(1, 2))
+    m10s = jnp.sum(p * xs, axis=(1, 2))
+    m01s = jnp.sum(p * ys, axis=(1, 2))
+
+    # Sub-cell lower boundary per column: r_b = bottom-most row with p>=0.5
+    # (== bottom above); the 0.5 level-set sits between rows r_b and r_b+1 at
+    #   r* = r_b + (p[r_b] - 0.5) / (p[r_b] - p[r_b+1])
+    # (p[r_b+1] < 0.5 by construction of r_b; rows past the grid read as 0).
+    rb = jnp.clip(bottom, 0, hm - 1).astype(jnp.int32)  # (D, W)
+    p_cw = jnp.swapaxes(p, 1, 2)  # (D, W, H) for per-column gathers
+    p_b = jnp.take_along_axis(p_cw, rb[..., None], axis=-1)[..., 0]
+    rb1 = jnp.minimum(rb + 1, hm - 1)
+    p_below = jnp.take_along_axis(p_cw, rb1[..., None], axis=-1)[..., 0]
+    p_below = jnp.where(rb1 > rb, p_below, 0.0)  # bottom grid row: nothing below
+    frac = jnp.clip((p_b - 0.5) / jnp.maximum(p_b - p_below, 1e-6), 0.0, 1.0)
+    bottom_sub = jnp.where(bottom >= 0, bottom + frac, -1.0)
+
+    return {
+        "m00": m00, "m10": m10, "m01": m01,
+        "col_any": col_any, "bottom": bottom,
+        "m00s": m00s, "m10s": m10s, "m01s": m01s,
+        "bottom_sub": bottom_sub, "col_p": jnp.max(p, axis=1),
+    }
+
+
+def subcell_col_extent(col_p: Array) -> tuple[Array, Array, Array]:
+    """Sub-cell left/right extent from a per-column max-probability profile.
+
+    col_p: (..., W) in [0, 1]. Returns (left_sub, right_sub, any_occupied):
+    crossing indices of the 0.5 level on the rising (left) and falling
+    (right) flank around the binary extremes, in the same center-mapped
+    units as ``bottom_sub``. Where no column reaches 0.5 the binary
+    fallback values (argmax positions) are returned with any_occupied False.
+    """
+    w = col_p.shape[-1]
+    occ = col_p >= 0.5
+    any_occ = jnp.any(occ, axis=-1)
+    left_i = jnp.argmax(occ, axis=-1)  # first >=0.5 column
+    right_i = w - 1 - jnp.argmax(occ[..., ::-1], axis=-1)
+
+    take = lambda idx: jnp.take_along_axis(col_p, idx[..., None], axis=-1)[..., 0]
+    p_l = take(left_i)
+    p_lprev = jnp.where(left_i > 0, take(jnp.maximum(left_i - 1, 0)), 0.0)
+    lfrac = jnp.clip((0.5 - p_lprev) / jnp.maximum(p_l - p_lprev, 1e-6), 0.0, 1.0)
+    left_sub = left_i.astype(jnp.float32) - 1.0 + lfrac
+
+    p_r = take(right_i)
+    p_rnext = jnp.where(right_i < w - 1, take(jnp.minimum(right_i + 1, w - 1)), 0.0)
+    rfrac = jnp.clip((p_r - 0.5) / jnp.maximum(p_r - p_rnext, 1e-6), 0.0, 1.0)
+    right_sub = right_i.astype(jnp.float32) + rfrac
+    return left_sub, right_sub, any_occ
+
+
 @jax.custom_batching.custom_vmap
 def _stats_pallas_vmappable(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array

@@ -181,9 +181,17 @@ def prepare_frame_inputs(
     roi_bounds: tuple[float, float, float, float] | None,
     max_stitches: int,
     max_stats_dets: int = 64,
+    subcell: bool = False,
 ) -> tuple[StitchSet, Array, Array, dict]:
     """Single-frame glue: split classes, gate by ROI, build stitch statistics
     and the fabric envelope. All shapes static.
+
+    subcell=True (MeasureConfig.subcell_edge / TTI_SUBCELL_EDGE=1) switches to
+    the occupancy-aware statistics for soft-mask-trained nets: boundary
+    positions read from the 0.5-crossing of the calibrated occupancy field
+    instead of the eroding binary threshold (instance_mask_stats_soft). The
+    envelope is then FLOAT crossing indices in center-mapped units; the
+    default path keeps the reference-exact integer bottom-row semantics.
 
     Statistics come from the fused mask-proto reduction
     (tti.kernels.maskstats: Pallas on TPU, dense XLA elsewhere) — per-instance
@@ -199,7 +207,7 @@ def prepare_frame_inputs(
     Returns (StitchSet (max_stitches rows), envelope (Wm,) int32, fabric_any bool,
     counts dict of int32 scalars for budget-overflow telemetry).
     """
-    from tti.kernels.maskstats import instance_mask_stats
+    from tti.kernels.maskstats import instance_mask_stats, instance_mask_stats_soft
     from tti.preprocess.letterbox import scale_boxes_to_frame
 
     input_hw = (spec.dst_h, spec.dst_w)
@@ -233,14 +241,20 @@ def prepare_frame_inputs(
         jnp.float32,
     )
     boxes_grid = dets.boxes * scale_vec
-    stats = instance_mask_stats(protos, dets.coefs, boxes_grid, in_roi)
-
-    # Fabric: union lower envelope = per-column max of instance bottom rows
-    # (bottom is -1 where a column is empty -> sentinel survives the max).
-    fabric_bottom = jnp.max(
-        jnp.where(is_fabric[:, None], stats["bottom"], -1.0), axis=0
-    )
-    envelope = fabric_bottom.astype(jnp.int32)
+    if subcell:
+        stats = instance_mask_stats_soft(protos, dets.coefs, boxes_grid, in_roi)
+        # Union of sub-cell lower boundaries (float crossing indices).
+        envelope = jnp.max(
+            jnp.where(is_fabric[:, None], stats["bottom_sub"], -1.0), axis=0
+        )
+    else:
+        stats = instance_mask_stats(protos, dets.coefs, boxes_grid, in_roi)
+        # Fabric: union lower envelope = per-column max of instance bottom rows
+        # (bottom is -1 where a column is empty -> sentinel survives the max).
+        fabric_bottom = jnp.max(
+            jnp.where(is_fabric[:, None], stats["bottom"], -1.0), axis=0
+        )
+        envelope = fabric_bottom.astype(jnp.int32)
     fabric_any = jnp.any(is_fabric & (stats["m00"] > 0))
 
     # Compact the stitch rows to a fixed max_stitches budget (NMS emits rows
@@ -248,6 +262,37 @@ def prepare_frame_inputs(
     stitch_rank = jnp.where(is_stitch, dets.scores, -1.0)
     _, order = jax.lax.top_k(stitch_rank, min(max_stitches, stitch_rank.shape[0]))
     sel_valid = is_stitch[order]
+
+    # The ACTUAL proto stride of this model (4 = Ultralytics; 2 = the hi-res
+    # head). Static shapes make this a trace-time Python float.
+    q = input_hw[1] / wm
+    bsel = boxes_grid[order]
+
+    if subcell:
+        from tti.kernels.maskstats import subcell_col_extent
+
+        m00s = stats["m00s"][order]
+        has_mask = (m00s > 1e-6) & sel_valid
+        cx_m = stats["m10s"][order] / jnp.maximum(m00s, 1e-6)
+        cy_m = stats["m01s"][order] / jnp.maximum(m00s, 1e-6)
+        left_m, right_m, _ = subcell_col_extent(stats["col_p"][order])
+        # Bbox fallback, converted from grid coords g (input px = g*q) into
+        # center-mapped crossing units c (input px = c*q + (q-1)/2).
+        dlt = (q - 1.0) / (2.0 * q)
+        cx_m = jnp.where(has_mask, cx_m, 0.5 * (bsel[:, 0] + bsel[:, 2]) - dlt)
+        cy_m = jnp.where(has_mask, cy_m, 0.5 * (bsel[:, 1] + bsel[:, 3]) - dlt)
+        left_m = jnp.where(has_mask, left_m, bsel[:, 0] - dlt)
+        right_m = jnp.where(has_mask, right_m, bsel[:, 2] - dlt)
+        # All sub-cell quantities (soft centroids, 0.5-crossings) live in
+        # center-mapped units: one mapping for every coordinate.
+        stitches = StitchSet(
+            cx=_mask_center_to_frame(cx_m, spec.pad_left, spec.scale, q),
+            cy=_mask_center_to_frame(cy_m, spec.pad_top, spec.scale, q),
+            left=_mask_center_to_frame(left_m, spec.pad_left, spec.scale, q),
+            right=_mask_center_to_frame(right_m, spec.pad_left, spec.scale, q),
+            valid=sel_valid,
+        )
+        return stitches, envelope, fabric_any, counts
 
     m00 = stats["m00"][order]
     has_mask = (m00 > 1e-6) & sel_valid
@@ -258,15 +303,11 @@ def prepare_frame_inputs(
     right_m = (wm - 1 - jnp.argmax(col_any[:, ::-1], axis=-1)).astype(jnp.float32)
 
     # Bbox fallback for empty masks (reference: measurement.py:308-323).
-    bsel = boxes_grid[order]
     cx_m = jnp.where(has_mask, cx_m, 0.5 * (bsel[:, 0] + bsel[:, 2]))
     cy_m = jnp.where(has_mask, cy_m, 0.5 * (bsel[:, 1] + bsel[:, 3]))
     left_m = jnp.where(has_mask, left_m, bsel[:, 0])
     right_m = jnp.where(has_mask, right_m, bsel[:, 2])
 
-    # The ACTUAL proto stride of this model (4 = Ultralytics; 2 = the hi-res
-    # head). Static shapes make this a trace-time Python float.
-    q = input_hw[1] / wm
     stitches = StitchSet(
         cx=_mask_center_to_frame(cx_m, spec.pad_left, spec.scale, q),
         cy=_mask_center_to_frame(cy_m, spec.pad_top, spec.scale, q),
@@ -283,12 +324,16 @@ def prepare_frame_inputs(
 
 
 def _sample_envelope_frame(
-    envelope: Array, cx_frame: Array, spec: LetterboxSpec, neighborhood: int
+    envelope: Array, cx_frame: Array, spec: LetterboxSpec, neighborhood: int,
+    subcell: bool = False,
 ) -> tuple[Array, Array]:
     """Median envelope height (frame px) over the +-neighborhood FRAME columns
     around each centroid (reference: measurement.py:408-419,444-449). Frame
     columns map to (possibly repeated) mask columns — repetition mirrors the
-    NEAREST-expanded envelope the reference reads."""
+    NEAREST-expanded envelope the reference reads.
+
+    subcell: envelope holds float 0.5-crossing indices (center-mapped units)
+    instead of integer bottom rows (bottom-pixel units)."""
     w = envelope.shape[0]
     q = spec.dst_w / w  # actual proto stride (4, or 2 for the hi-res head)
     offs = jnp.arange(-neighborhood, neighborhood + 1, dtype=jnp.float32)
@@ -298,7 +343,8 @@ def _sample_envelope_frame(
     vals = envelope[cols].astype(jnp.float32)
     ok = vals >= 0
     med_mask_y, has = masked_median(vals, ok, axis=-1)
-    env_frame_y = _mask_bottom_to_frame(med_mask_y, spec.pad_top, spec.scale, q)
+    to_frame = _mask_center_to_frame if subcell else _mask_bottom_to_frame
+    env_frame_y = to_frame(med_mask_y, spec.pad_top, spec.scale, q)
     return jnp.where(has, env_frame_y, 0.0), has
 
 
@@ -333,7 +379,8 @@ def measure_frame(
 
     # ---- STEP 2: row selection (measurement.py:374-430).
     env_y, has_env = _sample_envelope_frame(
-        envelope, stitches.cx, spec, cfg.envelope_neighborhood
+        envelope, stitches.cx, spec, cfg.envelope_neighborhood,
+        subcell=cfg.subcell_edge,
     )
     multi = n_stitches >= 2
     if cfg.skip_cluster:
@@ -348,7 +395,11 @@ def measure_frame(
         labels, _ = kmeans_1d_two_clusters(stitches.cy, valid)
         env_rows = envelope >= 0
         env_mean_mask_y, env_has = masked_mean(envelope.astype(jnp.float32), env_rows)
-        fabric_mean_y = _mask_bottom_to_frame(env_mean_mask_y, spec.pad_top, spec.scale)
+        # q from the ACTUAL envelope grid (was hardcoded 4 via the default —
+        # a 2x-displaced cluster-selection anchor on the stride-2 head).
+        q_env = spec.dst_w / envelope.shape[0]
+        env_to_frame = _mask_center_to_frame if cfg.subcell_edge else _mask_bottom_to_frame
+        fabric_mean_y = env_to_frame(env_mean_mask_y, spec.pad_top, spec.scale, q_env)
         c0_mean, c0_has = masked_mean(stitches.cy, valid & (labels == 0))
         c1_mean, c1_has = masked_mean(stitches.cy, valid & (labels == 1))
         c0_dist = jnp.where(c0_has, jnp.abs(c0_mean - fabric_mean_y), 1e9)
