@@ -6,6 +6,7 @@ import pytest
 
 cv2 = pytest.importorskip("cv2")
 
+import jax
 import jax.numpy as jnp
 
 from tti.core.config import MeasureConfig
@@ -298,6 +299,74 @@ def test_upper_envelope():
     mask[3:4, 5] = 1
     env = np.asarray(fabric_upper_envelope(jnp.asarray(mask)))
     assert env[2] == 5 and env[5] == 3 and env[0] == -1
+
+
+def test_fabric_edge_mask_vs_cv2_contours():
+    """Boundary pixel set == cv2.findContours(CHAIN_APPROX_NONE) point set on
+    hole-free masks (the harness's _fabric_edge_points source,
+    reference: Utils/check_stitch_distance.py:268-279)."""
+    import cv2
+
+    from tti.measure.ops import fabric_edge_mask
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        mask = np.zeros((40, 56), np.uint8)
+        for _ in range(3):  # union of solid rectangles: no interior holes
+            y, x = rng.integers(0, 30, 2)
+            h, w = rng.integers(4, 12, 2)
+            mask[y:y + h, x:x + w] = 1
+        ours = np.asarray(fabric_edge_mask(jnp.asarray(mask)))
+        cont, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+        ref = set()
+        for c in cont:
+            for x, y in c.reshape(-1, 2):
+                ref.add((int(y), int(x)))
+        got = {(int(y), int(x)) for y, x in zip(*np.nonzero(ours))}
+        # cv2 traces the 8-connected outer chain; the 4-neighbour erosion
+        # boundary is its superset on these shapes (it adds concave-corner
+        # pixels cv2's chain steps across diagonally). Every traced point
+        # must be in our set, and ours must contain no non-boundary pixel.
+        assert ref <= got
+        interior = set()
+        for y, x in got:
+            nb = [(y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)]
+            if all(0 <= a < 40 and 0 <= b < 56 and mask[a, b] for a, b in nb):
+                interior.add((y, x))
+        assert not interior
+
+
+def test_nearest_edge_candidates():
+    """Top-k nearest boundary pixels match a brute-force distance sort, and
+    the fixed k=20 budget mirrors MAX_EDGE_CANDIDATES
+    (reference: Utils/check_stitch_distance.py:37)."""
+    from tti.measure.ops import fabric_edge_mask, nearest_edge_candidates
+
+    mask = np.zeros((30, 40), np.uint8)
+    mask[10:20, 5:35] = 1
+    edge = fabric_edge_mask(jnp.asarray(mask))
+    cx, cy = 18.0, 3.0  # stitch centroid above the fabric
+    ys, xs, dist, valid = jax.jit(
+        lambda e: nearest_edge_candidates(e, cx, cy, k=20))(edge)
+    ys, xs, dist, valid = map(np.asarray, (ys, xs, dist, valid))
+    assert valid.all()
+
+    ey, ex = np.nonzero(np.asarray(edge))
+    brute = np.sort(np.hypot(ex - cx, ey - cy))[:20]
+    np.testing.assert_allclose(np.sort(dist), brute, rtol=1e-6)
+    # Ordered nearest-first and each returned pixel is on the boundary.
+    assert (np.diff(dist) >= -1e-6).all()
+    assert all(np.asarray(edge)[y, x] for y, x in zip(ys, xs))
+
+    # k larger than the boundary: surplus rows flagged invalid, coords 0.
+    tiny = np.zeros((8, 8), np.uint8)
+    tiny[4, 4] = 1
+    ys2, xs2, d2, v2 = nearest_edge_candidates(
+        fabric_edge_mask(jnp.asarray(tiny)), 0.0, 0.0, k=5)
+    assert int(np.sum(np.asarray(v2))) == 1
+    assert (np.asarray(ys2)[1:] == 0).all() and (np.asarray(xs2)[1:] == 0).all()
+    assert np.isinf(np.asarray(d2)[1:]).all()
 
 
 def test_measure_frame_skip_cluster(cam):

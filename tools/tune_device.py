@@ -41,7 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # defaults as control. Gates not in a trial are explicitly RESET to defaults
 # so trials are independent of the caller's environment.
 GATES = ["TTI_MASKSTATS", "TTI_WARP_S2D", "TTI_WARP_BLOCKED",
-         "TTI_APPROX_TOPK", "TTI_QUANT", "TTI_INPUT_LAYOUT"]
+         "TTI_APPROX_TOPK", "TTI_QUANT", "TTI_QUANT_SCALES",
+         "TTI_INPUT_LAYOUT"]
 
 TRIALS: list[tuple[str, dict[str, str]]] = [
     ("baseline", {}),
@@ -181,16 +182,24 @@ def main(argv=None) -> None:
     ap.add_argument("--allow-approx", action="store_true",
                     help="let approximate/quantized trials WIN the tune "
                          "(they are always measured and reported)")
+    ap.add_argument("--int8-scales", default="",
+                    help="activation-scale JSON (tools/calibrate_int8.py) — "
+                         "adds a quant=int8s trial for THIS arch; the file's "
+                         "block keys must match the swept architecture")
     ap.add_argument("--out", default="tune.env")
     args = ap.parse_args(argv)
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/tti_jax_cache_tune")
 
-    trials = TRIALS
+    trials = list(TRIALS)
+    if args.int8_scales:
+        trials.append(("quant=int8s", {
+            "TTI_QUANT": "int8s",
+            "TTI_QUANT_SCALES": os.path.abspath(args.int8_scales)}))
     if args.trials:
         keep = set(args.trials.split(","))
-        trials = [t for t in TRIALS if t[0] in keep]
+        trials = [t for t in trials if t[0] in keep]
     batches = [int(b) for b in args.batches.split(",")]
     frame_hw = (args.frame_h, args.frame_w)
 

@@ -51,6 +51,65 @@ def fabric_upper_envelope(fabric_mask: Array) -> Array:
     return jnp.where(has_any, idx, ENVELOPE_EMPTY).astype(jnp.int32)
 
 
+def fabric_edge_mask(fabric_mask: Array) -> Array:
+    """Boundary pixels of the fabric union mask: fabric pixels with at least
+    one 4-neighbour outside the mask (the frame border counts as outside).
+
+    Diagnostic-harness parity: ``_fabric_edge_points``
+    (reference: Utils/check_stitch_distance.py:268-279) extracts the outer
+    contour point set via cv2.findContours(RETR_EXTERNAL, CHAIN_APPROX_NONE)
+    to feed a nearest-contour candidate search (MAX_EDGE_CANDIDATES=20,
+    check_stitch_distance.py:37) — which the harness prepares at :456-460 but
+    never executes (dead prototype code). This is the fixed-shape TPU form of
+    the intended semantics: a nearest-point search needs the boundary pixel
+    SET, not cv2's traced chain order, so the op returns a (H, W) bool mask
+    that downstream reductions consume in place — no host-side point list,
+    no ``max_pts`` decimation (that exists only to bound cv2's Python list).
+
+    Divergence, documented: RETR_EXTERNAL drops interior hole contours; the
+    erosion boundary keeps them. For the search's purpose (nearest fabric
+    EDGE to a stitch centroid sitting outside the fabric) the outer boundary
+    is always strictly nearer than any hole rim, so candidates differ only in
+    the pathological hole-adjacent case the harness never handled either.
+
+    fabric_mask: (H, W) bool/float. Returns (H, W) bool.
+    """
+    m = fabric_mask > 0
+    pad = jnp.pad(m, 1, constant_values=False)
+    interior = (pad[:-2, 1:-1] & pad[2:, 1:-1]
+                & pad[1:-1, :-2] & pad[1:-1, 2:])
+    return m & ~interior
+
+
+def nearest_edge_candidates(
+    edge_mask: Array, cx: Array, cy: Array, k: int = 20
+) -> tuple[Array, Array, Array, Array]:
+    """The ``k`` boundary pixels nearest to ``(cx, cy)``, nearest first.
+
+    Fixed-shape form of the harness's nearest-contour candidate search
+    (reference: Utils/check_stitch_distance.py:37 MAX_EDGE_CANDIDATES=20,
+    prepared at :456-460): Euclidean distance from the centroid to every
+    boundary pixel, top-k smallest. Variable-length contour lists become a
+    masked full-grid reduction — one ``top_k`` on the TPU, no host round trip.
+
+    edge_mask: (H, W) bool (from :func:`fabric_edge_mask`); cx, cy: scalar
+    pixel coordinates in the same grid. Returns ``(ys, xs, dist, valid)``,
+    each ``(k,)``; ``valid`` is False past the number of boundary pixels
+    (then ys/xs are 0 and dist is +inf).
+    """
+    h, w = edge_mask.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+    d2 = jnp.where(edge_mask > 0, d2, jnp.inf).reshape(-1)
+    neg, idx = jax.lax.top_k(-d2, k)
+    dist = jnp.sqrt(-neg)
+    valid = jnp.isfinite(dist)
+    return (jnp.where(valid, idx // w, 0).astype(jnp.int32),
+            jnp.where(valid, idx % w, 0).astype(jnp.int32),
+            dist, valid)
+
+
 def masked_median(values: Array, mask: Array, axis: int = -1) -> tuple[Array, Array]:
     """Median of the masked-in entries along ``axis`` (numpy semantics: mean of
     the two middles for even counts). Returns (median, any_valid). Invalid ->
