@@ -69,6 +69,7 @@ def main() -> None:
     model = create_model("n", nc=2, dtype=jnp.bfloat16)
     variables = init_variables(model, image_size=imgsz)
     weights_used = "random-init"
+    meta: dict = {}
     if weights and os.path.exists(weights):
         from tti.model.convert import checkpoint_metadata, load_checkpoint
 
@@ -86,7 +87,10 @@ def main() -> None:
         variables=variables,
         frame_hw=(frame_h, frame_w),
         calibration=calib,
-        measure_cfg=MeasureConfig(),
+        # Headline ckpt is binary-trained: auto readout resolves to the
+        # reference-exact binary threshold (soft ckpts flip to sub-cell).
+        measure_cfg=MeasureConfig().with_subcell_from(
+            meta if weights_used != "random-init" else {}),
         roi=RoiConfig(enabled=True, x_min=10, x_max=frame_w - 10, y_min=300,
                       y_max=frame_h - 200),
     )

@@ -53,6 +53,39 @@ def test_cli_train_resume(tmp_path, capsys):
     assert final.exists()
 
 
+def test_cli_export_weights(tmp_path, capsys):
+    """train -> export-weights -> the deploy msgpack loads and its sidecar
+    drives both architecture adoption and the auto sub-cell readout."""
+    from tti.cli.__main__ import main
+    from tti.core.config import MeasureConfig
+    from tti.model.convert import checkpoint_metadata, load_checkpoint
+    from tti.model.yolo import create_model, init_variables
+
+    images = _write_dataset(tmp_path / "ds3", 8)  # 1 step/epoch at batch 8
+    out = tmp_path / "run"
+    assert main(["train", "--images", str(images), "--imgsz", "64",
+                 "--batch-size", "8", "--epochs", "1", "--lr", "1e-4",
+                 "--max-gt", "4", "--checkpoint-every", "1",
+                 "--soft-masks", "--out", str(out)]) == 0
+    capsys.readouterr()
+    deploy = tmp_path / "deploy.msgpack"
+    assert main(["export-weights", "--train-dir", str(out),
+                 "--out", str(deploy), "--imgsz", "64",
+                 "--soft-masks", "--recipe", "test run"]) == 0
+    meta = checkpoint_metadata(str(deploy))
+    assert meta["soft_masks"] is True and meta["variant"] == "n"
+    assert meta["recipe"] == "test run"
+    # The auto readout keys on the sidecar flag.
+    assert MeasureConfig().with_subcell_from(meta).subcell_edge is True
+    # And the exported tree loads back into the declared architecture.
+    model = create_model(meta["variant"], nc=meta["num_classes"],
+                         mask_stride=meta["mask_stride"],
+                         proto_head=meta["proto_head"])
+    template = init_variables(model, image_size=64)
+    variables = load_checkpoint(str(deploy), template)
+    assert "params" in variables
+
+
 def test_cli_train_resume_rejects_host_aug(tmp_path, capsys):
     from tti.cli.__main__ import main
 

@@ -231,8 +231,46 @@ def test_config_env_gate():
                            "DB_NAME": "n", "DB_TABLE": "t"},
                       validate=False)
     assert cfg.measure.subcell_edge is True
+    # Unset = AUTO (None): loaders resolve against the checkpoint sidecar.
     cfg2 = load_config(dotenv_path=None, env={}, validate=False)
-    assert cfg2.measure.subcell_edge is False
+    assert cfg2.measure.subcell_edge is None
+    cfg3 = load_config(dotenv_path=None, env={"TTI_SUBCELL_EDGE": "0"},
+                       validate=False)
+    assert cfg3.measure.subcell_edge is False
+
+
+def test_subcell_auto_resolution_from_sidecar():
+    """with_subcell_from: auto follows the sidecar's soft_masks flag; an
+    explicit setting (env TTI_SUBCELL_EDGE) always wins."""
+    from tti.core.config import MeasureConfig
+
+    auto = MeasureConfig()
+    assert auto.with_subcell_from({"soft_masks": True}).subcell_edge is True
+    assert auto.with_subcell_from({"soft_masks": False}).subcell_edge is False
+    assert auto.with_subcell_from({}).subcell_edge is False  # legacy sidecars
+    forced_off = MeasureConfig(subcell_edge=False)
+    assert forced_off.with_subcell_from({"soft_masks": True}).subcell_edge is False
+    forced_on = MeasureConfig(subcell_edge=True)
+    assert forced_on.with_subcell_from({}).subcell_edge is True
+
+
+def test_deploy_sidecar_declares_soft_masks():
+    """The committed soft-trained deploy checkpoint must carry the flag the
+    auto readout keys on (a soft net read with the binary threshold loses
+    ~0.13 mm of boundary per side — MEASURE_REPORT.md A/B)."""
+    import os
+
+    from tti.model.convert import checkpoint_metadata
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "checkpoints", "yolov8n_textile_cam.msgpack")
+    if not os.path.exists(path + ".json"):
+        import pytest
+
+        pytest.skip("deploy checkpoint not present")
+    meta = checkpoint_metadata(path)
+    assert meta.get("soft_masks") is True
+    assert meta.get("proto_head") == "subpixel"
 
 
 def test_measure_frame_compiles_with_subcell_cfg():

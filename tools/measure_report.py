@@ -395,11 +395,9 @@ def run_pipeline(frames: np.ndarray, weights: str, *, undistort: bool,
     pipe = InspectionPipeline(
         model_cfg=cfg, variables=variables, frame_hw=FRAME_HW, calibration=calib,
         model=model,
-        # TTI_SUBCELL_EDGE=1 measures with the occupancy-aware sub-cell
-        # boundary readout (for soft-mask-trained checkpoints).
-        measure_cfg=MeasureConfig(
-            subcell_edge=os.environ.get("TTI_SUBCELL_EDGE") == "1"
-        ),
+        # Boundary readout matches the checkpoint's training targets (sidecar
+        # soft_masks -> sub-cell 0.5-crossing readout); TTI_SUBCELL_EDGE forces.
+        measure_cfg=MeasureConfig.from_env(os.environ).with_subcell_from(meta),
         undistort=undistort,
         # The deployment ROI (reference config.py:91-95).
         roi=RoiConfig(enabled=True, x_min=10, x_max=FRAME_HW[1] - 10,
@@ -492,6 +490,14 @@ def main(argv=None) -> None:
     # applied to the raw protocol values before the validity gates.
     SEAM_OFFSET, WIDTH_OFFSET = -1.3, -1.0
 
+    from tti.core.config import MeasureConfig
+    from tti.model.convert import checkpoint_metadata
+
+    mcfg = MeasureConfig.from_env(os.environ).with_subcell_from(
+        checkpoint_metadata(args.weights))
+    readout = ("sub-cell 0.5-crossing (soft-mask net, TTI_SUBCELL_EDGE auto)"
+               if mcfg.subcell_edge else "binary 0.5-threshold (reference-exact)")
+
     rows, rows_corr, per_frame = [], [], {}
     for name, und, dtype in configs:
         t1 = time.time()
@@ -582,7 +588,7 @@ def main(argv=None) -> None:
         f"  camera model (tools/measure_report.py). Centre scale {scale:.4f} mm/px.",
         f"- Weights: `{args.weights}` (recipe: TRAINING.md; architecture from",
         "  the checkpoint sidecar — the deploy checkpoint carries the stride-2",
-        "  hi-res proto head). Full production chain",
+        f"  hi-res proto head). Boundary readout: {readout}. Full production chain",
         f"  at imgsz={args.imgsz} (reference measurement.py:208-210); per-frame",
         "  raw (unsmoothed) values vs protocol-exact truth.",
         "- Truth is PROTOCOL-exact (f64): width = plane distance between mask",

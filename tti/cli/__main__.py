@@ -71,6 +71,15 @@ def _load_pipeline(cfg, frame_hw, calibration=None, return_masks=False):
                      arch, {k: old for k, (old, _) in drift.items()})
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, **arch))
+        # Auto boundary readout: soft-mask-trained checkpoints measure with
+        # the sub-cell 0.5-crossing readout (MEASURE_REPORT.md A/B), binary
+        # ones keep reference-exact semantics. TTI_SUBCELL_EDGE forces.
+        measure = cfg.measure.with_subcell_from(meta)
+        if measure is not cfg.measure:
+            if measure.subcell_edge:
+                log.info("soft-mask checkpoint: sub-cell boundary readout on "
+                         "(TTI_SUBCELL_EDGE=0 forces binary)")
+            cfg = dataclasses.replace(cfg, measure=measure)
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     model = create_model(cfg.model.variant, nc=cfg.model.num_classes, dtype=dtype,
@@ -371,6 +380,44 @@ def cmd_convert(args) -> int:
     variables = convert_torch_state_dict(state_dict)
     save_checkpoint(variables, args.out, metadata={"source": args.pt})
     print("wrote", args.out)
+    return 0
+
+
+def cmd_export_weights(args) -> int:
+    """Export a deploy msgpack (+ complete JSON sidecar) from a train-state
+    checkpoint. Deploys the EMA tree when present (the Ultralytics-recipe
+    "best" model). The sidecar is the load-time architecture contract
+    (_load_pipeline adopts variant/nc/mask_stride/proto_head from it) AND the
+    measurement-semantics contract: `soft_masks` drives the automatic
+    sub-cell boundary readout (MeasureConfig.with_subcell_from)."""
+    from tti.model.convert import load_checkpoint, save_checkpoint
+    from tti.model.yolo import create_model, init_variables
+    from tti.train.checkpoint import latest_checkpoint
+
+    src = args.train_dir
+    if os.path.isdir(src):
+        newest = latest_checkpoint(src)
+        if newest is not None:  # a run dir of step_* checkpoints
+            src = newest
+    model = create_model(args.variant, nc=args.num_classes,
+                         mask_stride=args.mask_stride,
+                         proto_head=args.proto_head)
+    template = init_variables(model, image_size=64)
+    variables = load_checkpoint(src, template)
+    meta = {
+        "source": src,
+        "variant": args.variant,
+        "num_classes": args.num_classes,
+        "imgsz_trained": args.imgsz,
+        "mask_stride": args.mask_stride,
+        "proto_head": args.proto_head,
+        "soft_masks": bool(args.soft_masks),
+        "weights": "EMA (deployed tree)",
+        "recipe": args.recipe,
+    }
+    save_checkpoint(variables, args.out, metadata=meta)
+    print("deploy checkpoint:", args.out)
+    print("sidecar:", args.out + ".json")
     return 0
 
 
@@ -893,6 +940,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pt", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("export-weights",
+                       help="export a deploy msgpack + sidecar from a "
+                            "train-state checkpoint (EMA tree)")
+    p.add_argument("--train-dir", required=True,
+                   help="orbax run dir (newest step_* picked), a single "
+                        "step_* checkpoint, or a msgpack file")
+    p.add_argument("--out", required=True, help="output .msgpack path")
+    p.add_argument("--variant", default="n")
+    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--imgsz", type=int, default=960)
+    p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4])
+    p.add_argument("--proto-head", default="deconv",
+                   choices=["deconv", "subpixel"])
+    p.add_argument("--soft-masks", action="store_true",
+                   help="record that the run used area-occupancy targets — "
+                        "turns on the sub-cell boundary readout at load")
+    p.add_argument("--recipe", default="",
+                   help="free-text provenance line for the sidecar")
+    p.set_defaults(func=cmd_export_weights)
 
     p = sub.add_parser("train", help="train a segmentation model (YOLO-format data)")
     p.add_argument("--images", required=True, help="dataset images directory")

@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from dataclasses import dataclass, field
-from typing import Mapping
+from typing import Any, Mapping
 
 from tti.core.errors import ConfigError
 
@@ -222,14 +222,29 @@ class MeasureConfig:
     # Occupancy-aware sub-cell boundary readout for soft-mask-trained nets
     # (tti train --soft-masks): boundaries from the 0.5-crossing of the
     # calibrated occupancy field instead of the eroding binary threshold.
-    # Default off = reference-exact binary semantics. Env: TTI_SUBCELL_EDGE=1.
-    subcell_edge: bool = False
+    # None = AUTO: follow the checkpoint sidecar's `soft_masks` flag (the
+    # readout must match the target semantics the net was trained to emit —
+    # measured in MEASURE_REPORT.md: binary readout of a soft net erodes
+    # boundaries by up to half a proto cell). Binary checkpoints keep the
+    # reference-exact binary semantics. Env TTI_SUBCELL_EDGE=0/1 forces.
+    subcell_edge: bool | None = None
 
     @staticmethod
     def from_env(env: Mapping[str, str]) -> "MeasureConfig":
+        raw = env.get("TTI_SUBCELL_EDGE")
         return MeasureConfig(
-            subcell_edge=env_bool(env, "TTI_SUBCELL_EDGE", False),
+            subcell_edge=None if raw is None
+            else raw.strip().lower() in ("1", "true", "yes", "on"),
         )
+
+    def with_subcell_from(self, ckpt_meta: Mapping[str, Any]) -> "MeasureConfig":
+        """Resolve subcell_edge=None (auto) against a checkpoint's sidecar
+        metadata: soft-mask-trained nets read boundaries sub-cell, binary
+        nets keep the reference-exact threshold. Explicit config wins."""
+        if self.subcell_edge is not None:
+            return self
+        return dataclasses.replace(
+            self, subcell_edge=bool(ckpt_meta.get("soft_masks", False)))
 
 
 @dataclass(frozen=True)

@@ -412,7 +412,9 @@ class InspectionPipeline:
                 stitches, envelope, fabric_any, counts = prepare_frame_inputs(
                     d, protos, spec, mcfg.stitch_class_id, mcfg.fabric_class_id,
                     roi_bounds, cfg.max_stitches, cfg.max_stats_dets,
-                    subcell=cfg.subcell_edge,
+                    # None (unresolved auto) measures binary — loaders resolve
+                    # auto against the checkpoint sidecar before reaching here.
+                    subcell=bool(cfg.subcell_edge),
                 )
                 meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg)
                 return meas, stitches, envelope, counts

@@ -69,8 +69,10 @@ def create_train_state(
         warmup = warmup_steps if warmup_steps is not None else max(
             20, min(1000, total_steps // 20)
         )
-        # Tiny runs (smoke tests): warmup must leave a positive cosine phase.
-        warmup = min(warmup, max(total_steps // 5, 1))
+        # Tiny runs (smoke tests): warmup must leave a positive cosine phase
+        # (optax requires decay_steps - warmup_steps > 0, so warmup < total).
+        warmup = min(warmup, max(total_steps // 5, 1), total_steps - 1)
+        warmup = max(warmup, 0)
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=learning_rate * 1e-2,
             peak_value=learning_rate,
