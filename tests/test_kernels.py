@@ -179,3 +179,31 @@ def test_maskstats_pallas2_vmap_routes_to_batched(rng):
             np.asarray(got[key]), np.asarray(ref[key]), atol=1e-3,
             err_msg=f"{key} mismatch",
         )
+
+
+def test_maskstats_bf16_logits_gate(rng, monkeypatch):
+    """TTI_MASKSTATS_LOGITS=bf16 halves the dense logits materialization; the
+    stats must agree with f32 everywhere the logits aren't within bf16
+    rounding of the 0-boundary (random weights put measure-zero mass there,
+    so moments agree to the mask-boundary tolerance and col_any exactly)."""
+    from tti.kernels.maskstats import instance_mask_stats_soft
+
+    protos, coefs, boxes, valid = _random_problem(rng)
+    ref = instance_mask_stats_xla(protos, coefs, boxes, valid)
+    refs = instance_mask_stats_soft(protos, coefs, boxes, valid)
+    monkeypatch.setenv("TTI_MASKSTATS_LOGITS", "bf16")
+    got = instance_mask_stats_xla(protos, coefs, boxes, valid)
+    gots = instance_mask_stats_soft(protos, coefs, boxes, valid)
+    # Binary stats: identical masks except cells with |logit| < bf16 eps.
+    for key in ("m00", "m10", "m01"):
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                                   rtol=5e-2, atol=2.0, err_msg=key)
+    assert np.mean(np.asarray(got["col_any"]) == np.asarray(ref["col_any"])) > 0.99
+    # Soft stats: probabilities round at bf16 resolution (~1/256).
+    for key in ("m00s", "m10s", "m01s"):
+        np.testing.assert_allclose(np.asarray(gots[key]), np.asarray(refs[key]),
+                                   rtol=2e-2, atol=2.0, err_msg=key)
+    bs_ref = np.asarray(refs["bottom_sub"])
+    bs_got = np.asarray(gots["bottom_sub"])
+    both = (bs_ref >= 0) & (bs_got >= 0)
+    assert np.allclose(bs_got[both], bs_ref[both], atol=0.05)  # ~1/20 cell

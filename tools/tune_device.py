@@ -42,12 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # so trials are independent of the caller's environment.
 GATES = ["TTI_MASKSTATS", "TTI_WARP_S2D", "TTI_WARP_BLOCKED",
          "TTI_APPROX_TOPK", "TTI_QUANT", "TTI_QUANT_SCALES",
-         "TTI_INPUT_LAYOUT"]
+         "TTI_INPUT_LAYOUT", "TTI_MASKSTATS_LOGITS"]
 
 TRIALS: list[tuple[str, dict[str, str]]] = [
     ("baseline", {}),
     ("maskstats=pallas_batched", {"TTI_MASKSTATS": "pallas_batched"}),
     ("maskstats=pallas2", {"TTI_MASKSTATS": "pallas2"}),
+    ("maskstats_logits=bf16", {"TTI_MASKSTATS_LOGITS": "bf16"}),
     ("warp_s2d=0", {"TTI_WARP_S2D": "0"}),
     ("warp_blocked=64", {"TTI_WARP_BLOCKED": "64"}),
     ("approx_topk=1", {"TTI_APPROX_TOPK": "1"}),  # approximate NMS candidate
@@ -55,13 +56,17 @@ TRIALS: list[tuple[str, dict[str, str]]] = [
     ("quant=int8", {"TTI_QUANT": "int8"}),  # <=0.009 AP cost (STATUS item 11)
 ]
 
+# Exact trials may WIN the tune outright; approximate/quantized ones (incl.
+# the bf16 logits materialization: boundary-tie threshold flips + ~1/256-cell
+# sub-cell resolution) are reported but only adopted with --allow-approx.
 EXACT_TRIALS = {t for t, env in TRIALS if "TTI_APPROX_TOPK" not in env
-                and "TTI_QUANT" not in env}
+                and "TTI_QUANT" not in env
+                and "TTI_MASKSTATS_LOGITS" not in env}
 
 
 def build_pipeline(batch: int, imgsz: int, frame_hw: tuple[int, int],
                    variant: str, dtype: str, mask_stride: int = 4,
-                   proto_head: str = "deconv"):
+                   proto_head: str = "deconv", subcell: bool = False):
     import jax.numpy as jnp
 
     from tti.calib.io import CalibrationData
@@ -91,7 +96,10 @@ def build_pipeline(batch: int, imgsz: int, frame_hw: tuple[int, int],
                       proto_head=proto_head)
     return InspectionPipeline(
         model_cfg=cfg, variables=init_variables(model, image_size=imgsz),
-        frame_hw=frame_hw, calibration=calib, measure_cfg=MeasureConfig(),
+        frame_hw=frame_hw, calibration=calib,
+        # --subcell times the as-deployed soft-checkpoint readout (the auto
+        # resolution flips it on for soft-trained sidecars).
+        measure_cfg=MeasureConfig(subcell_edge=subcell),
         roi=RoiConfig(enabled=True, x_min=10, x_max=frame_w - 10, y_min=300,
                       y_max=frame_h - 200))
 
@@ -109,7 +117,7 @@ class TrialResult:
 def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
               frame_hw: tuple[int, int], variant: str, dtype: str,
               iters: int, lat_iters: int, mask_stride: int = 4,
-              proto_head: str = "deconv") -> TrialResult:
+              proto_head: str = "deconv", subcell: bool = False) -> TrialResult:
     import jax.numpy as jnp
 
     for g in GATES:
@@ -118,7 +126,8 @@ def run_trial(name: str, env: dict[str, str], batch: int, imgsz: int,
     try:
         t0 = time.perf_counter()
         pipe = build_pipeline(batch, imgsz, frame_hw, variant, dtype,
-                              mask_stride=mask_stride, proto_head=proto_head)
+                              mask_stride=mask_stride, proto_head=proto_head,
+                              subcell=subcell)
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, size=(batch, *frame_hw, 3), dtype=np.uint8)
         frames_dev = pipe.prepare_frames(frames)
@@ -174,6 +183,10 @@ def main(argv=None) -> None:
     ap.add_argument("--proto-head", default="deconv",
                     choices=["deconv", "subpixel"],
                     help="mask_stride=2 second stage architecture")
+    ap.add_argument("--subcell", action="store_true",
+                    help="time the sub-cell (soft-checkpoint) boundary "
+                         "readout — the as-deployed measure path for "
+                         "soft-mask-trained sidecars")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--lat-iters", type=int, default=15)
@@ -209,7 +222,7 @@ def main(argv=None) -> None:
             r = run_trial(name, env, batch, args.imgsz, frame_hw,
                           args.variant, args.dtype, args.iters, args.lat_iters,
                           mask_stride=args.mask_stride,
-                          proto_head=args.proto_head)
+                          proto_head=args.proto_head, subcell=args.subcell)
             results.append(r)
             if r.error:
                 print(f"[batch {batch:4d}] {name:28s} FAILED: {r.error}",

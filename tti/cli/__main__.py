@@ -889,6 +889,10 @@ def cmd_tune_device(args) -> int:
         argv += ["--trials", args.trials]
     if args.allow_approx:
         argv.append("--allow-approx")
+    if args.subcell:
+        argv.append("--subcell")
+    if args.int8_scales:
+        argv += ["--int8-scales", args.int8_scales]
     tune_main(argv)
     return 0
 
@@ -1058,6 +1062,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--trials", default="", help="comma list (default: all)")
     p.add_argument("--allow-approx", action="store_true",
                    help="let approximate/quantized variants win")
+    p.add_argument("--subcell", action="store_true",
+                   help="time the sub-cell (soft-checkpoint) boundary readout")
+    p.add_argument("--int8-scales", default="",
+                   help="calibrated activation-scale JSON — adds quant=int8s")
     p.add_argument("--out", default="tune.env")
     p.set_defaults(func=cmd_tune_device)
 

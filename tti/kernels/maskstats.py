@@ -48,6 +48,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _logits_dtype():
+    """Materialization dtype for the dense (D, Hm, Wm) logits tensor.
+
+    The XLA stats paths are HBM-bound on writing + re-reading that tensor
+    (5.8 GB/step f32 at the stride-2 deploy geometry, batch 128); bf16
+    halves it. Gated OFF by default: the threshold test logits > 0 can flip
+    for cells within bf16 rounding of the boundary and the sub-cell frac
+    resolves at ~1/256 cell (~1e-3 mm here) — immaterial in product terms
+    but not bit-identical to the f32 oracle. Env: TTI_MASKSTATS_LOGITS=bf16
+    (read at trace time, like the other TTI_* perf gates)."""
+    import os
+
+    return (jnp.bfloat16 if os.environ.get("TTI_MASKSTATS_LOGITS") == "bf16"
+            else jnp.float32)
+
+
 def _stats_kernel(protos_ref, coefs_ref, boxes_ref, valid_ref,
                   m_ref, colany_ref, bottom_ref, *, row_axis: int = 0):
     """One grid step: ROW_TILE proto rows for all D instances.
@@ -422,11 +438,14 @@ def instance_mask_stats_xla(
     # f32 einsum deliberately: a bf16-input einsum is exact only for
     # bf16-origin values and measured SLOWER e2e anyway (2519 vs 2583
     # frames/s at batch 128 — the threshold/reduction pass dominates, not
-    # the matmul), as did an h-first reduction restructure.
+    # the matmul), as did an h-first reduction restructure. At the stride-2
+    # deploy geometry the tensor is 4x bigger and the balance may flip:
+    # TTI_MASKSTATS_LOGITS=bf16 halves the materialization (gated A/B).
+    dt = _logits_dtype()
     logits = jnp.einsum(
-        "dc,hwc->dhw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+        "dc,hwc->dhw", coefs.astype(dt), protos.astype(dt),
+        preferred_element_type=dt,
+    ).astype(jnp.float32)
     ys = jnp.arange(hm, dtype=jnp.float32).reshape(1, hm, 1)
     xs = jnp.arange(wm, dtype=jnp.float32).reshape(1, 1, wm)
     inside = (
@@ -474,10 +493,14 @@ def instance_mask_stats_soft(
     extra accumulators is queued behind a TPU A/B.
     """
     hm, wm, _ = protos.shape
+    # Same bf16-materialization gate as the binary path (TTI_MASKSTATS_LOGITS):
+    # the soft reductions make MORE passes over the tensor, so the bytes
+    # saving compounds; sub-cell frac keeps ~1/256-cell resolution in bf16.
+    dt = _logits_dtype()
     logits = jnp.einsum(
-        "dc,hwc->dhw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+        "dc,hwc->dhw", coefs.astype(dt), protos.astype(dt),
+        preferred_element_type=dt,
+    ).astype(jnp.float32)
     ys = jnp.arange(hm, dtype=jnp.float32).reshape(1, hm, 1)
     xs = jnp.arange(wm, dtype=jnp.float32).reshape(1, 1, wm)
     inside = (
@@ -505,12 +528,15 @@ def instance_mask_stats_soft(
     # (== bottom above); the 0.5 level-set sits between rows r_b and r_b+1 at
     #   r* = r_b + (p[r_b] - 0.5) / (p[r_b] - p[r_b+1])
     # (p[r_b+1] < 0.5 by construction of r_b; rows past the grid read as 0).
-    rb = jnp.clip(bottom, 0, hm - 1).astype(jnp.int32)  # (D, W)
-    p_cw = jnp.swapaxes(p, 1, 2)  # (D, W, H) for per-column gathers
-    p_b = jnp.take_along_axis(p_cw, rb[..., None], axis=-1)[..., 0]
-    rb1 = jnp.minimum(rb + 1, hm - 1)
-    p_below = jnp.take_along_axis(p_cw, rb1[..., None], axis=-1)[..., 0]
-    p_below = jnp.where(rb1 > rb, p_below, 0.0)  # bottom grid row: nothing below
+    # One-hot row selects instead of a (D, W, H) transpose + gathers: the
+    # equality masks reduce over the SAME (D, H, W) layout as every other
+    # statistic, so XLA folds p_b/p_below into the fused reduction passes
+    # (the transposed gather materialized a second full-size copy of p).
+    # bottom = -1 (empty column) matches no row -> p_b = p_below = 0 and the
+    # final where() masks the column; bottom = hm-1 leaves p_below = 0
+    # ("nothing below the grid"), identical to the gather formulation.
+    p_b = jnp.sum(jnp.where(ys == bottom[:, None, :], p, 0.0), axis=1)
+    p_below = jnp.sum(jnp.where(ys == bottom[:, None, :] + 1.0, p, 0.0), axis=1)
     frac = jnp.clip((p_b - 0.5) / jnp.maximum(p_b - p_below, 1e-6), 0.0, 1.0)
     bottom_sub = jnp.where(bottom >= 0, bottom + frac, -1.0)
 
