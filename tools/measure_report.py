@@ -679,6 +679,8 @@ def main(argv=None) -> None:
             # can be localized to a scene (and regenerated: scenes are
             # deterministic in --seed) without a rerun.
             "seed": args.seed,
+            "weights": args.weights,
+            "readout": readout,
             "truth": {"edge": gt_edge.tolist(), "width": gt_width.tolist(),
                       "edge_perp": gt_edge_perp.tolist(),
                       "width_nominal": gt_width_nom.tolist(),

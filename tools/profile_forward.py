@@ -111,6 +111,10 @@ def main() -> None:
     ap.add_argument("--proto-head", default="deconv",
                     choices=["deconv", "subpixel"],
                     help="mask_stride=2 second stage architecture")
+    ap.add_argument("--subcell", action="store_true",
+                    help="profile the sub-cell (soft-checkpoint) boundary "
+                         "readout — the as-deployed measure path for "
+                         "soft-mask-trained sidecars")
     args = ap.parse_args()
 
     import jax
@@ -142,7 +146,7 @@ def main() -> None:
                          proto_head=args.proto_head),
             image_size=args.imgsz),
         frame_hw=(args.frame_h, args.frame_w),
-        calibration=calib, measure_cfg=MeasureConfig(),
+        calibration=calib, measure_cfg=MeasureConfig(subcell_edge=args.subcell),
     )
     rng = np.random.default_rng(0)
     frames_np = rng.integers(
