@@ -207,3 +207,100 @@ def test_maskstats_bf16_logits_gate(rng, monkeypatch):
     bs_got = np.asarray(gots["bottom_sub"])
     both = (bs_ref >= 0) & (bs_got >= 0)
     assert np.allclose(bs_got[both], bs_ref[both], atol=0.05)  # ~1/20 cell
+
+
+SOFT_KEYS = ("m00", "m10", "m01", "col_any", "bottom",
+             "m00s", "m10s", "m01s", "bottom_sub", "col_p")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maskstats_soft_pallas2_matches_xla(seed):
+    """Soft v2 kernel (fused occupancy stats) == dense soft XLA reference,
+    including the sub-cell bottom crossing and probability moments."""
+    from tti.kernels.maskstats import (
+        instance_mask_stats_soft_pallas2, instance_mask_stats_soft_xla)
+
+    rng = np.random.default_rng(300 + seed)
+    protos, coefs, boxes, valid = _random_problem(rng)
+    ref = instance_mask_stats_soft_xla(protos, coefs, boxes, valid)
+    got = instance_mask_stats_soft_pallas2(protos, coefs, boxes, valid,
+                                           interpret=True)
+    for key in SOFT_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=2e-3,
+            err_msg=f"{key} mismatch",
+        )
+
+
+def test_maskstats_soft_pallas2_invalid_zeroed(rng):
+    """Folded-zero coefficients give sigmoid(0) = 0.5 — the kernel's explicit
+    valid gate (boxes row 4) must still zero every statistic."""
+    from tti.kernels.maskstats import instance_mask_stats_soft_pallas2
+
+    protos, coefs, boxes, valid = _random_problem(rng)
+    out = instance_mask_stats_soft_pallas2(protos, coefs, boxes,
+                                           jnp.zeros_like(valid),
+                                           interpret=True)
+    for key in ("m00", "m00s", "col_p"):
+        assert float(np.asarray(out[key]).sum()) == 0.0, key
+    assert np.all(np.asarray(out["bottom_sub"]) == -1.0)
+
+
+def test_maskstats_soft_pallas2_cross_tile_bottom(rng):
+    """A bottom row landing exactly on a tile's LAST row must read p_below
+    from the NEXT tile's first row (the cross-tile carry)."""
+    from tti.kernels.maskstats import (
+        SOFT_ROW_TILE, instance_mask_stats_soft_pallas2,
+        instance_mask_stats_soft_xla)
+
+    hm, wm, nm = 4 * SOFT_ROW_TILE, 48, 32
+    # Logits decay with y so the 0.5 crossing sits near y2; sweep y2 across a
+    # tile boundary (rows SOFT_ROW_TILE-1 .. SOFT_ROW_TILE+1).
+    protos = np.zeros((hm, wm, nm), np.float32)
+    for r in range(hm):
+        protos[r, :, 0] = 2.0 - 0.3 * r
+    protos = jnp.asarray(protos)
+    coefs = jnp.asarray(np.eye(1, nm, dtype=np.float32).repeat(3, 0))
+    boxes = jnp.asarray(np.array(
+        [[0, 0, wm, SOFT_ROW_TILE], [0, 0, wm, SOFT_ROW_TILE + 1],
+         [0, 0, wm, hm]], np.float32))
+    valid = jnp.ones(3, bool)
+    ref = instance_mask_stats_soft_xla(protos, coefs, boxes, valid)
+    got = instance_mask_stats_soft_pallas2(protos, coefs, boxes, valid,
+                                           interpret=True)
+    for key in SOFT_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=2e-3,
+            err_msg=f"{key} mismatch",
+        )
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_maskstats_soft_pallas2_batched_and_vmap(seed):
+    """Batched soft v2 == per-frame soft XLA; the custom_vmap wrapper routes
+    an enclosing vmap to the batched grid."""
+    import jax
+
+    from tti.kernels.maskstats import (
+        _stats2s_vmappable, instance_mask_stats_soft_pallas2_batched,
+        instance_mask_stats_soft_xla)
+
+    rng = np.random.default_rng(400 + seed)
+    frames = [_random_problem(rng, d=24, hm=40, wm=48) for _ in range(3)]
+    protos = jnp.stack([f[0] for f in frames])
+    coefs = jnp.stack([f[1] for f in frames])
+    boxes = jnp.stack([f[2] for f in frames])
+    valid = jnp.stack([f[3] for f in frames])
+    ref = jax.vmap(instance_mask_stats_soft_xla)(protos, coefs, boxes, valid)
+    got = instance_mask_stats_soft_pallas2_batched(protos, coefs, boxes, valid,
+                                                   interpret=True)
+    via_vmap = jax.vmap(_stats2s_vmappable)(protos, coefs, boxes, valid)
+    for key in SOFT_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=2e-3,
+            err_msg=f"{key} mismatch (batched)",
+        )
+        np.testing.assert_allclose(
+            np.asarray(via_vmap[key]), np.asarray(ref[key]), atol=2e-3,
+            err_msg=f"{key} mismatch (vmap route)",
+        )

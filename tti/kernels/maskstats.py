@@ -312,15 +312,21 @@ def _stats2_kernel(protos_ref, coefs_ref, boxes_ref, m_ref, colany_ref,
     bottom_ref[:] = jnp.maximum(bottom_ref[:], jnp.max(ymask, axis=0))
 
 
-def _stats2_prep(protos, coefs, boxes_grid, valid):
-    """Shared operand staging for the v2 kernel (see _stats2_kernel)."""
+def _stats2_prep(protos, coefs, boxes_grid, valid, row_tile: int = ROW_TILE):
+    """Shared operand staging for the v2 kernels (see _stats2_kernel).
+
+    boxes_t carries 8 sublane rows: 0..3 = x1,y1,x2,y2 and row 4 = the valid
+    flag (0/1). The binary kernel only reads rows 0..3 (validity is folded
+    into the coefficients there); the soft kernel needs the explicit flag
+    because zeroed coefficients give logits == 0 -> sigmoid == 0.5, which
+    would PASS its >= 0.5 occupancy test.
+    """
     hm, wm, nm = protos.shape[-3:]
     d, nm_c = coefs.shape[-2], coefs.shape[-1]
     if nm_c != nm:
         raise ValueError("coefs/protos nm mismatch")
     if d > 128:
         raise ValueError("v2 kernel holds detections in lanes (D <= 128)")
-    row_tile = ROW_TILE
     h_pad = _round_up(hm, row_tile)
     lead = protos.shape[:-3]
     protos_f = protos.reshape(lead + (hm * wm, nm))
@@ -328,14 +334,15 @@ def _stats2_prep(protos, coefs, boxes_grid, valid):
         protos_f = jnp.pad(
             protos_f, ((0, 0),) * len(lead) + ((0, (h_pad - hm) * wm), (0, 0))
         )
-    coefs_t = jnp.swapaxes(
-        coefs.astype(jnp.float32) * valid.astype(jnp.float32)[..., None],
-        -1, -2,
-    )
+    valid_f = valid.astype(jnp.float32)
+    coefs_t = jnp.swapaxes(coefs.astype(jnp.float32) * valid_f[..., None], -1, -2)
     coefs_t = jnp.pad(coefs_t, ((0, 0),) * len(lead) + ((0, 0), (0, 128 - d)))
     boxes_t = jnp.swapaxes(boxes_grid.astype(jnp.float32), -1, -2)
+    boxes_t = jnp.concatenate(
+        [boxes_t, valid_f[..., None, :]], axis=-2
+    )
     boxes_t = jnp.pad(
-        boxes_t, ((0, 0),) * len(lead) + ((0, 4), (0, 128 - d))
+        boxes_t, ((0, 0),) * len(lead) + ((0, 3), (0, 128 - d))
     )
     return protos_f, coefs_t, boxes_t, row_tile, h_pad // row_tile, wm, d
 
@@ -429,6 +436,206 @@ def instance_mask_stats_pallas2_batched(
     return _stats2_out(m, col_any, bottom, d, wm)
 
 
+SOFT_ROW_TILE = 8  # soft kernel carries ~2x the VPU intermediates per step
+
+
+def _stats2s_kernel(protos_ref, coefs_ref, boxes_ref, m_ref, colany_ref,
+                    bottom_ref, colp_ref, pb_ref, pbelow_ref,
+                    *, row_tile: int, w: int, hm: int, row_axis: int = 0):
+    """Soft (occupancy-aware) v2 grid step: the _stats2_kernel layout plus the
+    sub-cell accumulators, so the dense (D, Hm, Wm) probability tensor never
+    touches HBM.
+
+    The dense path (instance_mask_stats_soft_xla) materializes p = sigmoid
+    (logits) per instance — 45 MB/frame f32 at the stride-2 deploy geometry
+    (368x480 grid, 64 detections) — then makes ~6 reduction passes over it.
+    Here each grid step streams ``row_tile`` proto rows once, runs ONE MXU
+    matmul against the lane-resident coefficients, and folds every statistic
+    into VMEM accumulators.
+
+    Extra outputs vs the binary kernel (contract of
+    instance_mask_stats_soft_xla):
+      m_ref rows 3..5                  — m00s/m10s/m01s probability moments
+      colp_ref   (w, 128)              — per-column max probability
+      pb_ref     (w, 128)              — p at the binary bottom row
+      pbelow_ref (w, 128)              — p at the row below it (0 past grid)
+    bottom_sub's crossing fraction is assembled OUTSIDE the kernel from
+    (bottom, p_b, p_below) — same formula as the dense path.
+
+    The bottom/p_b/p_below carry works because grid steps execute in row
+    order: a tile-local bottom always supersedes the carried one (rows only
+    grow), and a bottom on a tile's LAST row leaves p_below = 0 until the
+    next tile's first row fills it (the ``bottom == row0 - 1`` test).
+
+    Validity comes from boxes_ref row 4 (see _stats2_prep): folded-zero
+    coefficients give logits == 0 -> sigmoid == 0.5, which would pass the
+    occupancy test. Same reason the kernel gates ys < hm explicitly: padded
+    proto rows are zeros -> p = 0.5 inside any box that touches y2 == hm.
+    """
+    step = pl.program_id(row_axis)
+
+    @pl.when(step == 0)
+    def _init():
+        m_ref[:] = jnp.zeros_like(m_ref)
+        colany_ref[:] = jnp.zeros_like(colany_ref)
+        bottom_ref[:] = jnp.full_like(bottom_ref, -1.0)
+        colp_ref[:] = jnp.zeros_like(colp_ref)
+        pb_ref[:] = jnp.zeros_like(pb_ref)
+        pbelow_ref[:] = jnp.zeros_like(pbelow_ref)
+
+    s = row_tile * w
+    logits = jnp.dot(
+        protos_ref[:].astype(jnp.float32), coefs_ref[:],
+        preferred_element_type=jnp.float32,
+    )  # (S, 128)
+
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    xs = (sidx % w).astype(jnp.float32)
+    row0 = step * row_tile
+    ys = (jnp.int32(row0) + sidx // w).astype(jnp.float32)
+
+    x1, y1 = boxes_ref[0:1, :], boxes_ref[1:2, :]
+    x2, y2 = boxes_ref[2:3, :], boxes_ref[3:4, :]
+    valid = boxes_ref[4:5, :]
+    inside = ((xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+              & (ys < jnp.float32(hm)) & (valid > 0.0))
+    p = jnp.where(inside, jax.nn.sigmoid(logits), 0.0)  # (S, 128)
+    occ = jnp.where(p >= 0.5, 1.0, 0.0)
+
+    m_ref[0:1, :] += jnp.sum(occ, axis=0, keepdims=True)
+    m_ref[1:2, :] += jnp.sum(occ * xs, axis=0, keepdims=True)
+    m_ref[2:3, :] += jnp.sum(occ * ys, axis=0, keepdims=True)
+    m_ref[3:4, :] += jnp.sum(p, axis=0, keepdims=True)
+    m_ref[4:5, :] += jnp.sum(p * xs, axis=0, keepdims=True)
+    m_ref[5:6, :] += jnp.sum(p * ys, axis=0, keepdims=True)
+
+    occ3 = occ.reshape(row_tile, w, 128)
+    p3 = p.reshape(row_tile, w, 128)
+    colany_ref[:] = jnp.maximum(colany_ref[:], jnp.max(occ3, axis=0))
+    colp_ref[:] = jnp.maximum(colp_ref[:], jnp.max(p3, axis=0))
+
+    # Cross-tile p_below fill FIRST (uses the carried bottom): the previous
+    # tile's bottom on its last row reads its below-probability from this
+    # tile's first row.
+    pbelow_ref[:] = jnp.where(
+        bottom_ref[:] == jnp.float32(row0 - 1), p3[0], pbelow_ref[:]
+    )
+
+    y3 = (jnp.int32(row0)
+          + jax.lax.broadcasted_iota(jnp.int32, (row_tile, w, 128), 0)
+          ).astype(jnp.float32)
+    tile_bottom = jnp.max(jnp.where(occ3 > 0.0, y3, -1.0), axis=0)  # (w, 128)
+    has = tile_bottom >= 0.0
+    pb_tile = jnp.sum(jnp.where(y3 == tile_bottom[None], p3, 0.0), axis=0)
+    pbelow_tile = jnp.sum(
+        jnp.where(y3 == tile_bottom[None] + 1.0, p3, 0.0), axis=0
+    )
+    bottom_ref[:] = jnp.maximum(bottom_ref[:], tile_bottom)
+    pb_ref[:] = jnp.where(has, pb_tile, pb_ref[:])
+    pbelow_ref[:] = jnp.where(has, pbelow_tile, pbelow_ref[:])
+
+
+def _stats2s_out(m, col_any, bottom, col_p, p_b, p_below, d, wm):
+    out = _stats2_out(m, col_any, bottom, d, wm)
+    bot = out["bottom"]
+    p_b = jnp.swapaxes(p_b, -1, -2)[..., :d, :wm]
+    p_below = jnp.swapaxes(p_below, -1, -2)[..., :d, :wm]
+    frac = jnp.clip((p_b - 0.5) / jnp.maximum(p_b - p_below, 1e-6), 0.0, 1.0)
+    out.update({
+        "m00s": m[..., 3, :d],
+        "m10s": m[..., 4, :d],
+        "m01s": m[..., 5, :d],
+        "bottom_sub": jnp.where(bot >= 0, bot + frac, -1.0),
+        "col_p": jnp.swapaxes(col_p, -1, -2)[..., :d, :wm],
+    })
+    return out
+
+
+def _soft_out_shapes(lead, wm):
+    f32 = jnp.float32
+    return [
+        jax.ShapeDtypeStruct(lead + (8, 128), f32),    # m
+        jax.ShapeDtypeStruct(lead + (wm, 128), f32),   # col_any
+        jax.ShapeDtypeStruct(lead + (wm, 128), f32),   # bottom
+        jax.ShapeDtypeStruct(lead + (wm, 128), f32),   # col_p
+        jax.ShapeDtypeStruct(lead + (wm, 128), f32),   # p_b
+        jax.ShapeDtypeStruct(lead + (wm, 128), f32),   # p_below
+    ]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def instance_mask_stats_soft_pallas2(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array,
+    interpret: bool | None = None,
+) -> dict[str, Array]:
+    """Soft v2 fused statistics, single frame. Contract of
+    instance_mask_stats_soft_xla."""
+    hm, nm = protos.shape[-3], protos.shape[-1]
+    protos_f, coefs_t, boxes_t, row_tile, grid, wm, d = _stats2_prep(
+        protos, coefs, boxes_grid, valid, row_tile=SOFT_ROW_TILE
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s = row_tile * wm
+    outs = pl.pallas_call(
+        partial(_stats2s_kernel, row_tile=row_tile, w=wm, hm=hm),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((s, nm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nm, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((wm, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ],
+        out_shape=_soft_out_shapes((), wm),
+        interpret=interpret,
+    )(protos_f, coefs_t, boxes_t)
+    return _stats2s_out(*outs, d, wm)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def instance_mask_stats_soft_pallas2_batched(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array,
+    interpret: bool | None = None,
+) -> dict[str, Array]:
+    """Batched soft v2: grid (B, row_tiles), one frame's row block per step."""
+    hm, nm = protos.shape[-3], protos.shape[-1]
+    protos_f, coefs_t, boxes_t, row_tile, grid, wm, d = _stats2_prep(
+        protos, coefs, boxes_grid, valid, row_tile=SOFT_ROW_TILE
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = protos.shape[0]
+    s = row_tile * wm
+    outs = pl.pallas_call(
+        partial(_stats2s_kernel, row_tile=row_tile, w=wm, hm=hm, row_axis=1),
+        grid=(b, grid),
+        in_specs=[
+            pl.BlockSpec((None, s, nm), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nm, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, 8, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((None, wm, 128), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ],
+        out_shape=_soft_out_shapes((b,), wm),
+        interpret=interpret,
+    )(protos_f, coefs_t, boxes_t)
+    return _stats2s_out(*outs, d, wm)
+
+
 def instance_mask_stats_xla(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array
 ) -> dict[str, Array]:
@@ -463,7 +670,7 @@ def instance_mask_stats_xla(
     return {"m00": m00, "m10": m10, "m01": m01, "col_any": col_any, "bottom": bottom}
 
 
-def instance_mask_stats_soft(
+def instance_mask_stats_soft_xla(
     protos: Array, coefs: Array, boxes_grid: Array, valid: Array
 ) -> dict[str, Array]:
     """Occupancy-aware (sub-cell) statistics for soft-mask-trained nets.
@@ -488,9 +695,9 @@ def instance_mask_stats_soft(
       col_p (D, Wm)        — per-column max probability (width crossings are
                              computed from it in the pipeline)
 
-    Dense XLA only: the measure path's default backend at production batch
-    (see instance_mask_stats); extending the Pallas kernels with the three
-    extra accumulators is queued behind a TPU A/B.
+    Dense XLA reference; the fused v2 Pallas variant
+    (instance_mask_stats_soft_pallas2) carries the identical contract — see
+    instance_mask_stats_soft for the measured backend dispatch.
     """
     hm, wm, _ = protos.shape
     # Same bf16-materialization gate as the binary path (TTI_MASKSTATS_LOGITS):
@@ -617,6 +824,47 @@ def _stats2_vmap_rule(axis_size, in_batched, protos, coefs, boxes_grid, valid):
         )
     out = instance_mask_stats_pallas2_batched(protos, coefs, boxes_grid, valid)
     return out, {k: True for k in out}
+
+
+@jax.custom_batching.custom_vmap
+def _stats2s_vmappable(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """Soft v2 per-frame stats whose vmap rule swaps in the batched-grid kernel."""
+    return instance_mask_stats_soft_pallas2(protos, coefs, boxes_grid, valid)
+
+
+@_stats2s_vmappable.def_vmap
+def _stats2s_vmap_rule(axis_size, in_batched, protos, coefs, boxes_grid, valid):
+    if not all(in_batched):
+        bcast = lambda a, b: a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        protos, coefs, boxes_grid, valid = (
+            bcast(a, b)
+            for a, b in zip((protos, coefs, boxes_grid, valid), in_batched)
+        )
+    out = instance_mask_stats_soft_pallas2_batched(protos, coefs, boxes_grid, valid)
+    return out, {k: True for k in out}
+
+
+def instance_mask_stats_soft(
+    protos: Array, coefs: Array, boxes_grid: Array, valid: Array
+) -> dict[str, Array]:
+    """Soft-stats backend dispatch (contract of instance_mask_stats_soft_xla).
+
+    TTI_MASKSTATS=pallas2 routes to the fused soft v2 kernel on TPU (the
+    dense probability tensor never hits HBM); default is the dense XLA path
+    pending the deploy-geometry A/B (STATUS.md round-4)."""
+    import os
+
+    forced = os.environ.get("TTI_MASKSTATS")
+    if jax.default_backend() == "tpu" and forced == "pallas2":
+        if coefs.shape[-2] > 128:
+            raise ValueError(
+                "TTI_MASKSTATS=pallas2 supports at most 128 detections "
+                f"(got {coefs.shape[-2]}); lower max_stats_dets"
+            )
+        return _stats2s_vmappable(protos, coefs, boxes_grid, valid)
+    return instance_mask_stats_soft_xla(protos, coefs, boxes_grid, valid)
 
 
 def instance_mask_stats(

@@ -41,6 +41,23 @@ Array = jax.Array
 PAD_GRAY = 114.0 / 255.0
 
 
+def _image_dtype():
+    """Compute dtype for the augment IMAGE chain (canvas resample + HSV).
+
+    The chain is pure bandwidth: canvas f32 (1.2 GB/step at batch 64/640px)
+    through two separable resample matmuls and the HSV elementwise pass,
+    landing in a (B, S, S, 3) buffer the bf16 forward re-casts anyway.
+    TTI_AUGMENT_DTYPE=bf16 runs it in bf16 end to end — half the HBM bytes,
+    2x the MXU rate on the resample matmuls. Pixel effect is sub-1/255
+    rounding on values the u8 source quantized to 1/255 already; GT
+    (boxes/masks) stays f32 regardless. Read at trace time like the other
+    TTI_* gates; default f32 (bit-identical to the r3 recipe)."""
+    import os
+
+    return (jnp.bfloat16 if os.environ.get("TTI_AUGMENT_DTYPE") == "bf16"
+            else jnp.float32)
+
+
 @flax.struct.dataclass
 class DeviceDataset:
     """The whole training set, device-resident (uint8 images + padded GT)."""
