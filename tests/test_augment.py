@@ -231,3 +231,25 @@ def test_rasterize_polygon_soft_rectangle_area():
     # Split column: ~half covered, +-1 full-res px of edge-inclusion slack.
     assert 0.25 <= m[1, 3] <= 0.75, m[1, 3]
     assert m[1, 4] == 0.0 and m[4, 1] == 0.0  # outside
+
+
+def test_bf16_gate_produces_bf16_and_close_pixels(dataset, monkeypatch):
+    """TTI_AUGMENT_DTYPE=bf16 must actually change the image chain (the gate
+    was once advertised but unwired — ADVICE r4): output dtype bf16, pixels
+    within bf16 rounding of the f32 chain, GT bit-identical."""
+    aug32 = make_augment_fn(batch_size=2, max_gt=G)
+    i32, t32 = aug32(dataset, jax.random.key(3))
+    monkeypatch.setenv("TTI_AUGMENT_DTYPE", "bf16")
+    aug16 = make_augment_fn(batch_size=2, max_gt=G)
+    i16, t16 = aug16(dataset, jax.random.key(3))
+    assert i16.dtype == jnp.bfloat16
+    assert i32.dtype == jnp.float32
+    # bf16 ~8-bit mantissa: worst pixel a few ULP through two resample
+    # matmuls + HSV (measured 0.05 on random-noise tiles), mean ~1 ULP.
+    diff = jnp.abs(i32 - i16.astype(jnp.float32))
+    assert float(jnp.max(diff)) <= 0.08, float(jnp.max(diff))
+    assert float(jnp.mean(diff)) <= 0.005, float(jnp.mean(diff))
+    # GT path is dtype-gate independent.
+    assert np.array_equal(np.asarray(t32.boxes), np.asarray(t16.boxes))
+    assert np.array_equal(np.asarray(t32.masks), np.asarray(t16.masks))
+    assert np.array_equal(np.asarray(t32.valid), np.asarray(t16.valid))

@@ -516,9 +516,13 @@ def _stats2s_kernel(protos_ref, coefs_ref, boxes_ref, m_ref, colany_ref,
 
     # Cross-tile p_below fill FIRST (uses the carried bottom): the previous
     # tile's bottom on its last row reads its below-probability from this
-    # tile's first row.
+    # tile's first row. Guarded to step > 0: at step 0, row0 - 1 == -1
+    # collides with the bottom_ref init sentinel, which would write row-0
+    # probabilities into every still-empty column (masked downstream today,
+    # but correctness must not hinge on non-local masking).
     pbelow_ref[:] = jnp.where(
-        bottom_ref[:] == jnp.float32(row0 - 1), p3[0], pbelow_ref[:]
+        (step > 0) & (bottom_ref[:] == jnp.float32(row0 - 1)),
+        p3[0], pbelow_ref[:]
     )
 
     y3 = (jnp.int32(row0)
@@ -857,13 +861,22 @@ def instance_mask_stats_soft(
     import os
 
     forced = os.environ.get("TTI_MASKSTATS")
-    if jax.default_backend() == "tpu" and forced == "pallas2":
-        if coefs.shape[-2] > 128:
+    if jax.default_backend() == "tpu":
+        if forced == "pallas2":
+            if coefs.shape[-2] > 128:
+                raise ValueError(
+                    "TTI_MASKSTATS=pallas2 supports at most 128 detections "
+                    f"(got {coefs.shape[-2]}); lower max_stats_dets"
+                )
+            return _stats2s_vmappable(protos, coefs, boxes_grid, valid)
+        if forced in ("pallas", "pallas_batched"):
+            # Those kernels are binary-path only. A silent XLA fallback here
+            # would let an A/B record a number for a kernel that never ran —
+            # same policy as the binary dispatcher's >128-detections guard.
             raise ValueError(
-                "TTI_MASKSTATS=pallas2 supports at most 128 detections "
-                f"(got {coefs.shape[-2]}); lower max_stats_dets"
+                f"TTI_MASKSTATS={forced} has no soft-stats kernel; use "
+                "pallas2 or unset it (dense XLA soft path)"
             )
-        return _stats2s_vmappable(protos, coefs, boxes_grid, valid)
     return instance_mask_stats_soft_xla(protos, coefs, boxes_grid, valid)
 
 

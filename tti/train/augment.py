@@ -150,9 +150,11 @@ def _hsv_to_rgb(hsv: Array) -> Array:
 
 
 def _hsv_jitter(img: Array, key: Array, hgain: float, sgain: float, vgain: float) -> Array:
-    r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0) * jnp.asarray(
+    # Gains computed in the image dtype so a bf16 chain stays bf16 end to end
+    # (f32 constants would silently re-promote every op after them).
+    r = (jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0) * jnp.asarray(
         [hgain, sgain, vgain]
-    ) + 1.0
+    ) + 1.0).astype(img.dtype)
     hsv = _rgb_to_hsv(img)
     h = (hsv[..., 0] * r[0]) % 1.0
     s = jnp.clip(hsv[..., 1] * r[1], 0.0, 1.0)
@@ -224,10 +226,14 @@ def _augment_one(
     # gathered tap against the border color.
     t_x = (0.5 + tx) * s_px - sc * (x0 + 0.5 * s_px)
     t_y = (0.5 + ty) * s_px - sc * (y0 + 0.5 * s_px)
-    img = PAD_GRAY + jax.image.scale_and_translate(
-        canvas.astype(jnp.float32) / 255.0 - PAD_GRAY,
+    dt = _image_dtype()
+    img = jnp.asarray(PAD_GRAY, dt) + jax.image.scale_and_translate(
+        canvas.astype(dt) * jnp.asarray(1.0 / 255.0, dt) - jnp.asarray(PAD_GRAY, dt),
         (s_px, s_px, 3),
         (0, 1),
+        # scale/translation stay f32: compute_weight_mat derives the sample
+        # POSITIONS from their dtype (bf16 here would shift geometry ~0.25 px
+        # at 640) and only casts the finished weights to the image dtype.
         scale=jnp.stack([sc, sc]),
         translation=jnp.stack([t_y, t_x]),
         method="linear",
