@@ -155,3 +155,50 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_bf16_mixed_precision(rng):
+    """bf16-compute training (round-5 `tti train --dtype bf16` default):
+    params/grads/optimizer stay f32, loss math runs f32 on upcast head exits,
+    first-step loss lands within bf16 rounding of the f32-compute model, and
+    a few steps still reduce it."""
+    imgsz = 32
+    states = {}
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = create_model("n", nc=2, dtype=dt)
+        # Fresh per-model init (same seed -> same f32 params; the f32 step
+        # DONATES its state, so sharing one tree would hand the bf16 run
+        # deleted buffers).
+        variables = init_variables(model, image_size=imgsz)
+        state, tx = create_train_state(model, variables, learning_rate=5e-3)
+        step = make_train_step(model, tx, (imgsz, imgsz))
+        states[name] = (state, step)
+
+    batch, max_gt = 4, 2
+    hm = imgsz // 4
+    images = jnp.asarray(
+        rng.uniform(0, 1, size=(batch, imgsz, imgsz, 3)).astype(np.float32))
+    boxes = np.tile(np.array([[4, 4, 24, 24], [8, 8, 28, 28]], np.float32),
+                    (batch, 1, 1))
+    targets = Targets(
+        boxes=jnp.asarray(boxes),
+        classes=jnp.asarray(np.zeros((batch, max_gt), np.int32)),
+        masks=jnp.asarray((rng.uniform(size=(batch, max_gt, hm, hm)) > 0.5
+                           ).astype(np.float32)),
+        valid=jnp.ones((batch, max_gt), bool),
+    )
+
+    totals = {}
+    for name, (state, step) in states.items():
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, images, targets)
+            losses.append(float(np.asarray(metrics["total"])))
+        totals[name] = losses
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(p.dtype == jnp.float32 for p in leaves), name
+        assert all(np.isfinite(losses)), name
+        assert losses[-1] < losses[0], name
+    # Same init, same batch: first-step totals agree to bf16 activation noise.
+    rel = abs(totals["bf16"][0] - totals["f32"][0]) / totals["f32"][0]
+    assert rel < 0.05, (totals["f32"][0], totals["bf16"][0])

@@ -779,9 +779,15 @@ def cmd_train(args) -> int:
               "iterator has no step-indexed stream to re-enter)")
         return 1
     samples = discover_dataset(args.images)
+    # Mixed-precision training (round-5): bf16 trunk/head compute with f32
+    # params and f32 loss math (make_train_step upcasts the head exits). The
+    # pre-r5 trainer silently ran f32 compute — ~2x the activation HBM and
+    # half the MXU rate for zero accuracy benefit (control retrain in
+    # TRAINING.md round-5).
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = create_model(args.variant, nc=args.num_classes,
                          mask_stride=args.mask_stride,
-                         proto_head=args.proto_head)
+                         proto_head=args.proto_head, dtype=dtype)
     variables = init_variables(model, image_size=args.imgsz)
     steps_per_epoch = max(len(samples) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.epochs
@@ -1000,6 +1006,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host-aug", action="store_true",
                    help="cv2 host-side augmentation instead of the default "
                         "device-side (HBM-resident) pipeline")
+    p.add_argument("--dtype", default="bf16", choices=["f32", "bf16"],
+                   help="trunk/head compute dtype (params + loss math stay "
+                        "f32). bf16 is the TPU-native default — the MXU's "
+                        "native rate and half the activation HBM; f32 "
+                        "reproduces the pre-round-5 recipe bit-exactly")
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser(

@@ -71,6 +71,22 @@ def dfl_loss(box_logits: Array, target_ltrb: Array) -> Array:
     return -jnp.sum(logp * w, axis=-1).mean(axis=-1)
 
 
+def _seg_storage_dtype():
+    """Storage dtype for the seg loss's (P, Hm, Wm)-sized tensors (mask
+    logits and the per-anchor GT gather) — the train step's largest HBM
+    stream (~13 GB/iter at batch 64 / 640px / s4 in f32; the round-5 profile
+    tagged ~20 ms of it). TTI_SEG_DTYPE=bf16 halves those bytes: the einsum
+    accumulates on the MXU and rounds once on store, the GT masks are
+    occupancy values whose bf16 rounding is ~2^-9 relative, and ALL
+    elementwise BCE math + reductions still run f32 (upcast in-register
+    inside the same fusion — no extra traffic). Default f32 = the r4 recipe
+    bit-exactly. Read at trace time like the other TTI_* gates."""
+    import os
+
+    return (jnp.bfloat16 if os.environ.get("TTI_SEG_DTYPE") == "bf16"
+            else jnp.float32)
+
+
 def _seg_per_anchor(
     coefs: Array, assigned_gt: Array, protos: Array, gt_masks: Array,
     gt_boxes_mask_grid: Array,
@@ -82,11 +98,12 @@ def _seg_per_anchor(
     is independent across anchors, so callers may evaluate it on any anchor
     chunking and concatenate — results are bit-identical."""
     hm, wm = protos.shape[0], protos.shape[1]
+    dt = _seg_storage_dtype()
     logits = jnp.einsum(
-        "ac,hwc->ahw", coefs.astype(jnp.float32), protos.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        "ac,hwc->ahw", coefs.astype(dt), protos.astype(dt),
+        preferred_element_type=dt,
     )  # (P, Hm, Wm) — only positives matter; masked by the caller.
-    tgt = gt_masks[assigned_gt]  # (P, Hm, Wm)
+    tgt = gt_masks.astype(dt)[assigned_gt]  # (P, Hm, Wm)
     boxes = gt_boxes_mask_grid[assigned_gt]  # (P, 4)
 
     rows = jnp.arange(hm, dtype=jnp.float32).reshape(1, hm, 1)
@@ -97,7 +114,9 @@ def _seg_per_anchor(
         & (cols >= boxes[:, 0, None, None])
         & (cols < boxes[:, 2, None, None])
     )
-    bce = jnp.maximum(logits, 0.0) - logits * tgt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    x = logits.astype(jnp.float32)
+    t = tgt.astype(jnp.float32)
+    bce = jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
     per_anchor = jnp.sum(bce * inside, axis=(1, 2))
     area = jnp.clip(
         (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1.0
@@ -164,7 +183,13 @@ def seg_loss(
         chunk = 32
 
     if chunk is None or chunk >= p:
-        per_anchor = _seg_per_anchor(
+        # Rematerialized even unchunked: without checkpoint XLA saves the
+        # (P, Hm, Wm) logits tensor as a backward residual — at batch 64 /
+        # 640px/s4 that is a 2.6 GB f32 save plus a same-sized layout copy
+        # (copy.695, 5.1 ms in the round-4 train profile). Recomputing the
+        # einsum in backward costs ~17 GFLOP total (<0.2 ms on the MXU) and
+        # drops both. Bit-identical loss; only the autodiff schedule changes.
+        per_anchor = jax.checkpoint(_seg_per_anchor)(
             coefs, assigned_gt, protos, gt_masks, gt_boxes_mask_grid
         )
     else:

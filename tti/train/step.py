@@ -222,6 +222,16 @@ def make_train_step(
             train=True,
             mutable=["batch_stats"],
         )
+        # Mixed precision: with a bf16-compute model the trunk/head run bf16
+        # (params stay f32 via param_dtype; the cast's transpose returns f32
+        # grads), but the LOSS math — TAL alignment, CIoU, DFL expectations,
+        # BCE log-space — runs f32. The head exits are the small tensors
+        # ((B,A,64/nc/nm) + protos), so the upcast is cheap; the HBM/MXU win
+        # lives in the trunk activations.
+        raw = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t,
+            raw,
+        )
         box_f, cls_f, coef_f, level_hw = flatten_predictions(raw)
         anchors, stride_per_anchor = make_anchors(level_hw, STRIDES)
 
