@@ -303,3 +303,72 @@ def test_measure_frame_compiles_with_subcell_cfg():
     meas = measure_frame(stitches, envelope, jnp.asarray(True), cam, spec, cfg)
     assert np.isfinite(float(meas.raw_edge_mm))
     assert np.isfinite(float(meas.raw_width_mm))
+
+
+def test_per_class_split_readout():
+    """subcell=True + subcell_envelope=False (the `--soft-masks stitch`
+    deployment): the envelope is bit-identical to the all-binary path
+    (reference-exact integer rows from the soft stats' binary `bottom`
+    field) while the stitch readout keeps the sub-cell crossings of the
+    all-soft path."""
+    rng = np.random.default_rng(3)
+    imgsz, q = 32, 2
+    hm = wm = imgsz // q
+    spec = _identity_spec(imgsz)
+    protos = rng.normal(size=(hm, wm, 2)).astype(np.float32) * 3
+    dets = Detections(
+        boxes=jnp.asarray(np.array([[0, 0, imgsz, imgsz]] * 2, np.float32)),
+        scores=jnp.asarray(np.array([0.9, 0.8], np.float32)),
+        classes=jnp.asarray(np.array([0, 1], np.int32)),
+        coefs=jnp.asarray(np.eye(2, dtype=np.float32)),
+        valid=jnp.asarray(np.array([True, True])),
+    )
+    args = (dets, jnp.asarray(protos), spec, 0, 1, None, 4)
+    st_bin, env_bin, _, _ = prepare_frame_inputs(*args, subcell=False)
+    st_soft, env_soft, _, _ = prepare_frame_inputs(*args, subcell=True)
+    st_split, env_split, _, _ = prepare_frame_inputs(
+        *args, subcell=True, subcell_envelope=False)
+
+    assert env_split.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(env_split), np.asarray(env_bin))
+    assert env_soft.dtype == jnp.float32
+    for f in ("cx", "cy", "left", "right"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_split, f)), np.asarray(getattr(st_soft, f)))
+
+    # And the inverse split (fabric soft, stitch binary).
+    st_inv, env_inv, _, _ = prepare_frame_inputs(
+        *args, subcell=False, subcell_envelope=True)
+    np.testing.assert_array_equal(np.asarray(env_inv), np.asarray(env_soft))
+    for f in ("cx", "cy", "left", "right"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_inv, f)), np.asarray(getattr(st_bin, f)))
+
+
+def test_with_subcell_from_per_class_sidecar():
+    """Per-class sidecar keys split the readouts; legacy single-flag sidecars
+    keep envelope == stitch behavior; env forcing wins."""
+    from tti.core.config import MeasureConfig, load_config
+
+    auto = MeasureConfig()
+    split = auto.with_subcell_from({"soft_stitch": True, "soft_fabric": False})
+    assert split.subcell_edge is True
+    assert split.subcell_envelope is False
+    assert split.envelope_subcell is False
+
+    legacy = auto.with_subcell_from({"soft_masks": True})
+    assert legacy.subcell_edge is True
+    assert legacy.subcell_envelope is None  # follows subcell_edge
+    assert legacy.envelope_subcell is True
+
+    inv = auto.with_subcell_from({"soft_stitch": False, "soft_fabric": True})
+    assert inv.subcell_edge is False
+    assert inv.envelope_subcell is True
+
+    forced = MeasureConfig(subcell_envelope=True).with_subcell_from(
+        {"soft_stitch": True, "soft_fabric": False})
+    assert forced.envelope_subcell is True
+
+    cfg = load_config(dotenv_path=None,
+                      env={"TTI_SUBCELL_ENVELOPE": "0"}, validate=False)
+    assert cfg.measure.subcell_envelope is False

@@ -84,3 +84,53 @@ def test_train_on_synthetic_dataset(dataset):
     assert len(losses) == 3
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_soft_class_ids_spellings():
+    from tti.train.data import soft_class_ids
+
+    assert soft_class_ids(None) == ()
+    assert soft_class_ids(False) == ()
+    assert soft_class_ids("") == ()
+    assert soft_class_ids(True) == (0, 1)
+    assert soft_class_ids("all") == (0, 1)
+    assert soft_class_ids("stitch") == (0,)
+    assert soft_class_ids("fabric") == (1,)
+    assert soft_class_ids("0,1") == (0, 1)
+    assert soft_class_ids([1]) == (1,)
+
+
+def test_per_class_soft_device_dataset_and_augment(dataset):
+    """`--soft-masks stitch`: stitch (class 0) masks rasterize as occupancy
+    fractions, fabric (class 1) stays 0/1; after the device augment, fabric
+    slots are exactly binary while stitch slots keep fractional cells."""
+    import jax
+    import jax.numpy as jnp
+
+    from tti.train.augment import build_device_dataset, make_augment_fn
+
+    samples = discover_dataset(dataset)
+    data = build_device_dataset(samples, imgsz=64, max_gt=8, mask_stride=4,
+                                soft_masks="stitch")
+    assert data.soft == (0,)
+    m = np.asarray(data.masks)
+    cls = np.asarray(data.classes)
+    val = np.asarray(data.valid)
+    stitch_vals = m[(cls == 0) & val]
+    fabric_vals = m[(cls == 1) & val]
+    assert fabric_vals.size and set(np.unique(fabric_vals)) <= {0, 1}
+    # Boundary cells of a polygon rasterized soft carry intermediate u8s.
+    assert stitch_vals.size and (np.unique(stitch_vals).size > 2
+                                 or stitch_vals.max() > 1)
+
+    augment = make_augment_fn(batch_size=4, max_gt=8)
+    imgs, targets = augment(data, jax.random.key(0))
+    am = np.asarray(targets.masks)
+    acls = np.asarray(targets.classes)
+    aval = np.asarray(targets.valid)
+    fab = am[(acls == 1) & aval]
+    assert fab.size
+    assert np.all((fab == 0.0) | (fab == 1.0))  # binary survived the resample
+    sti = am[(acls == 0) & aval]
+    assert sti.size
+    assert np.all((sti >= 0.0) & (sti <= 1.0))

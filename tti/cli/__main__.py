@@ -404,6 +404,13 @@ def cmd_export_weights(args) -> int:
                          proto_head=args.proto_head)
     template = init_variables(model, image_size=64)
     variables = load_checkpoint(src, template)
+    from tti.train.data import soft_class_ids
+
+    cfg0 = load_config(validate=False)
+    soft_ids = soft_class_ids(
+        args.soft_masks, num_classes=args.num_classes,
+        stitch_class_id=cfg0.model.stitch_class_id,
+        fabric_class_id=cfg0.model.fabric_class_id)
     meta = {
         "source": src,
         "variant": args.variant,
@@ -411,7 +418,13 @@ def cmd_export_weights(args) -> int:
         "imgsz_trained": args.imgsz,
         "mask_stride": args.mask_stride,
         "proto_head": args.proto_head,
-        "soft_masks": bool(args.soft_masks),
+        # Legacy flag = ALL classes soft (r4 sidecars); per-class runs write
+        # the split keys, which with_subcell_from prefers. A legacy reader
+        # sees a stitch-only checkpoint as binary — conservative: the
+        # envelope readout stays reference-exact either way.
+        "soft_masks": bool(soft_ids) and len(soft_ids) == args.num_classes,
+        "soft_stitch": cfg0.model.stitch_class_id in soft_ids,
+        "soft_fabric": cfg0.model.fabric_class_id in soft_ids,
         "weights": "EMA (deployed tree)",
         "recipe": args.recipe,
     }
@@ -964,9 +977,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mask-stride", type=int, default=4, choices=[2, 4])
     p.add_argument("--proto-head", default="deconv",
                    choices=["deconv", "subpixel"])
-    p.add_argument("--soft-masks", action="store_true",
-                   help="record that the run used area-occupancy targets — "
-                        "turns on the sub-cell boundary readout at load")
+    p.add_argument("--soft-masks", nargs="?", const="all", default=None,
+                   help="record which classes trained with area-occupancy "
+                        "targets (all | stitch | fabric | comma ids; bare "
+                        "flag = all) — drives the per-class sub-cell "
+                        "boundary readout at load")
     p.add_argument("--recipe", default="",
                    help="free-text provenance line for the sidecar")
     p.set_defaults(func=cmd_export_weights)
@@ -999,10 +1014,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="extra seg-loss weight on stitch-class positives "
                         "(>1 prioritizes the small-object stitch masks the "
                         "product measures; fabric keeps weight 1)")
-    p.add_argument("--soft-masks", action="store_true",
+    p.add_argument("--soft-masks", nargs="?", const="all", default=None,
                    help="area-occupancy mask targets (fractional boundary "
                         "cells) instead of binary — lifts the deployed-chain "
-                        "mask ceiling on sub-cell objects; MASK_CEILING.md")
+                        "mask ceiling on sub-cell objects (MASK_CEILING.md). "
+                        "Takes a class spec (all | stitch | fabric | comma "
+                        "ids; bare flag = all): '--soft-masks stitch' keeps "
+                        "fabric binary so the envelope keeps reference-exact "
+                        "integer semantics (round-5 edge-bias recovery)")
     p.add_argument("--host-aug", action="store_true",
                    help="cv2 host-side augmentation instead of the default "
                         "device-side (HBM-resident) pipeline")

@@ -228,23 +228,55 @@ class MeasureConfig:
     # boundaries by up to half a proto cell). Binary checkpoints keep the
     # reference-exact binary semantics. Env TTI_SUBCELL_EDGE=0/1 forces.
     subcell_edge: bool | None = None
+    # Per-class readout split (round-5 edge-bias recovery): soft targets may
+    # be trained PER CLASS (`tti train --soft-masks stitch` — stitch soft for
+    # mask AP, fabric binary so the envelope keeps the reference-exact
+    # integer bottom-row semantics that round 3 measured least-biased).
+    # subcell_envelope overrides the ENVELOPE readout only; None = follow
+    # subcell_edge (one flag for both, the r4 behavior). Auto-resolution
+    # reads the sidecar's per-class keys (soft_fabric/soft_stitch) when
+    # present. Env TTI_SUBCELL_ENVELOPE=0/1 forces.
+    subcell_envelope: bool | None = None
+
+    @property
+    def envelope_subcell(self) -> bool:
+        """Effective envelope readout after auto-resolution."""
+        if self.subcell_envelope is not None:
+            return self.subcell_envelope
+        return bool(self.subcell_edge)
 
     @staticmethod
     def from_env(env: Mapping[str, str]) -> "MeasureConfig":
-        raw = env.get("TTI_SUBCELL_EDGE")
+        def tri(name: str) -> bool | None:
+            raw = env.get(name)
+            return (None if raw is None
+                    else raw.strip().lower() in ("1", "true", "yes", "on"))
+
         return MeasureConfig(
-            subcell_edge=None if raw is None
-            else raw.strip().lower() in ("1", "true", "yes", "on"),
+            subcell_edge=tri("TTI_SUBCELL_EDGE"),
+            subcell_envelope=tri("TTI_SUBCELL_ENVELOPE"),
         )
 
     def with_subcell_from(self, ckpt_meta: Mapping[str, Any]) -> "MeasureConfig":
-        """Resolve subcell_edge=None (auto) against a checkpoint's sidecar
-        metadata: soft-mask-trained nets read boundaries sub-cell, binary
-        nets keep the reference-exact threshold. Explicit config wins."""
-        if self.subcell_edge is not None:
-            return self
-        return dataclasses.replace(
-            self, subcell_edge=bool(ckpt_meta.get("soft_masks", False)))
+        """Resolve subcell readouts left at None (auto) against a checkpoint's
+        sidecar metadata: soft-trained classes read boundaries sub-cell,
+        binary-trained classes keep the reference-exact threshold. Per-class
+        sidecars (soft_stitch / soft_fabric, written by per-class
+        `--soft-masks stitch|fabric` training) split the two readouts; the
+        legacy all-classes `soft_masks` flag drives both. Explicit config
+        wins."""
+        sub = self.subcell_edge
+        env = self.subcell_envelope
+        legacy = bool(ckpt_meta.get("soft_masks", False))
+        if sub is None:
+            sub = bool(ckpt_meta.get("soft_stitch", legacy))
+        if env is None and ("soft_fabric" in ckpt_meta
+                            or "soft_stitch" in ckpt_meta):
+            env = bool(ckpt_meta.get("soft_fabric", legacy))
+        # env stays None for single-flag sidecars: envelope follows
+        # subcell_edge exactly as before per-class sidecars existed.
+        return dataclasses.replace(self, subcell_edge=sub,
+                                   subcell_envelope=env)
 
 
 @dataclass(frozen=True)

@@ -182,6 +182,7 @@ def prepare_frame_inputs(
     max_stitches: int,
     max_stats_dets: int = 64,
     subcell: bool = False,
+    subcell_envelope: bool | None = None,
 ) -> tuple[StitchSet, Array, Array, dict]:
     """Single-frame glue: split classes, gate by ROI, build stitch statistics
     and the fabric envelope. All shapes static.
@@ -192,6 +193,13 @@ def prepare_frame_inputs(
     instead of the eroding binary threshold (instance_mask_stats_soft). The
     envelope is then FLOAT crossing indices in center-mapped units; the
     default path keeps the reference-exact integer bottom-row semantics.
+
+    subcell_envelope (None = follow ``subcell``) splits the ENVELOPE readout
+    from the stitch readout for per-class-trained nets (`tti train
+    --soft-masks stitch`): a binary-trained fabric head keeps the
+    reference-exact integer envelope while soft-trained stitches read
+    sub-cell. The envelope dtype follows ITS flag (float crossings vs int32
+    rows) — measure_frame's cfg.envelope_subcell must agree.
 
     Statistics come from the fused mask-proto reduction
     (tti.kernels.maskstats: Pallas on TPU, dense XLA elsewhere) — per-instance
@@ -241,16 +249,21 @@ def prepare_frame_inputs(
         jnp.float32,
     )
     boxes_grid = dets.boxes * scale_vec
-    if subcell:
+    env_subcell = subcell if subcell_envelope is None else subcell_envelope
+    if subcell or env_subcell:
         stats = instance_mask_stats_soft(protos, dets.coefs, boxes_grid, in_roi)
+    else:
+        stats = instance_mask_stats(protos, dets.coefs, boxes_grid, in_roi)
+    if env_subcell:
         # Union of sub-cell lower boundaries (float crossing indices).
         envelope = jnp.max(
             jnp.where(is_fabric[:, None], stats["bottom_sub"], -1.0), axis=0
         )
     else:
-        stats = instance_mask_stats(protos, dets.coefs, boxes_grid, in_roi)
         # Fabric: union lower envelope = per-column max of instance bottom rows
-        # (bottom is -1 where a column is empty -> sentinel survives the max).
+        # (bottom is -1 where a column is empty -> sentinel survives the max;
+        # the soft stats dict carries the identical binary `bottom` field, so
+        # a soft-stitch/binary-fabric net reads the reference-exact rows).
         fabric_bottom = jnp.max(
             jnp.where(is_fabric[:, None], stats["bottom"], -1.0), axis=0
         )
@@ -380,7 +393,7 @@ def measure_frame(
     # ---- STEP 2: row selection (measurement.py:374-430).
     env_y, has_env = _sample_envelope_frame(
         envelope, stitches.cx, spec, cfg.envelope_neighborhood,
-        subcell=cfg.subcell_edge,
+        subcell=cfg.envelope_subcell,
     )
     multi = n_stitches >= 2
     if cfg.skip_cluster:
@@ -398,7 +411,8 @@ def measure_frame(
         # q from the ACTUAL envelope grid (was hardcoded 4 via the default —
         # a 2x-displaced cluster-selection anchor on the stride-2 head).
         q_env = spec.dst_w / envelope.shape[0]
-        env_to_frame = _mask_center_to_frame if cfg.subcell_edge else _mask_bottom_to_frame
+        env_to_frame = (_mask_center_to_frame if cfg.envelope_subcell
+                        else _mask_bottom_to_frame)
         fabric_mean_y = env_to_frame(env_mean_mask_y, spec.pad_top, spec.scale, q_env)
         c0_mean, c0_has = masked_mean(stitches.cy, valid & (labels == 0))
         c1_mean, c1_has = masked_mean(stitches.cy, valid & (labels == 1))

@@ -415,6 +415,7 @@ class InspectionPipeline:
                     # None (unresolved auto) measures binary — loaders resolve
                     # auto against the checkpoint sidecar before reaching here.
                     subcell=bool(cfg.subcell_edge),
+                    subcell_envelope=cfg.envelope_subcell,
                 )
                 meas = measure_frame(stitches, envelope, fabric_any, cam, spec, cfg)
                 return meas, stitches, envelope, counts

@@ -71,7 +71,10 @@ class DeviceDataset:
     # Static (non-pytree) flag: masks hold u8-quantized area-occupancy
     # FRACTIONS (soft targets) instead of 0/1 cells. Changes how the augment
     # resamples them (no threshold) — part of the jit cache key by design.
-    soft: bool = flax.struct.field(pytree_node=False, default=False)
+    # True = every class soft (legacy); a tuple of class ids = per-class
+    # (those classes soft, the rest binary — the augment thresholds each GT
+    # slot by its class); False/() = all binary.
+    soft: bool | tuple = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def imgsz(self) -> int:
@@ -80,15 +83,19 @@ class DeviceDataset:
 
 def build_device_dataset(samples, imgsz: int, max_gt: int,
                          mask_stride: int = 4,
-                         soft_masks: bool = False) -> DeviceDataset:
+                         soft_masks=False) -> DeviceDataset:
     """Decode + rasterize the dataset ONCE on host, upload to device.
 
     soft_masks: store area-occupancy fractions (rasterize_polygon_soft,
-    quantized to u8 — same HBM footprint) instead of binary cells. See the
+    quantized to u8 — same HBM footprint) instead of binary cells. Accepts
+    every tti.train.data.soft_class_ids spelling; per-class values ("stitch")
+    rasterize only those classes soft and the DeviceDataset carries the id
+    tuple so the augment resample thresholds the binary classes only. See the
     soft-target rationale in tti.train.data.rasterize_polygon_soft."""
     from tti.train.data import (_load_resized_u8, rasterize_polygon,
-                                rasterize_polygon_soft)
+                                rasterize_polygon_soft, soft_class_ids)
 
+    soft_ids = soft_class_ids(soft_masks)
     n = len(samples)
     sm = imgsz // mask_stride
     images = np.zeros((n, imgsz, imgsz, 3), np.uint8)
@@ -96,6 +103,8 @@ def build_device_dataset(samples, imgsz: int, max_gt: int,
     classes = np.zeros((n, max_gt), np.int32)
     masks = np.zeros((n, max_gt, sm, sm), np.uint8)
     valid = np.zeros((n, max_gt), bool)
+    all_soft = bool(soft_ids) and all(
+        c in soft_ids for s in samples for c in s.classes)
     for i, s in enumerate(samples):
         images[i] = _load_resized_u8(s.image_path, imgsz)
         for g, (poly, cls) in enumerate(zip(s.polygons[:max_gt], s.classes[:max_gt])):
@@ -103,7 +112,7 @@ def build_device_dataset(samples, imgsz: int, max_gt: int,
             boxes[i, g] = [p[:, 0].min() * imgsz, p[:, 1].min() * imgsz,
                            p[:, 0].max() * imgsz, p[:, 1].max() * imgsz]
             classes[i, g] = cls
-            if soft_masks:
+            if cls in soft_ids:
                 frac = rasterize_polygon_soft(p, (sm, sm), mask_stride)
                 masks[i, g] = np.round(frac * 255.0).astype(np.uint8)
             else:
@@ -112,7 +121,8 @@ def build_device_dataset(samples, imgsz: int, max_gt: int,
     return DeviceDataset(
         images=jnp.asarray(images), boxes=jnp.asarray(boxes),
         classes=jnp.asarray(classes), masks=jnp.asarray(masks),
-        valid=jnp.asarray(valid), soft=soft_masks,
+        valid=jnp.asarray(valid),
+        soft=True if all_soft else soft_ids,
     )
 
 
@@ -287,13 +297,24 @@ def _augment_one(
     # git history); jax S&T samples in = (out+0.5-T)/scale - 0.5, so
     # T = -sc*(C+0.5). Linear interp + 0.5 threshold on binary masks is
     # nearest-equivalent away from exact ties.
-    def one_mask(tile: Array, slot: Array, ok: Array) -> Array:
+    def one_mask(tile: Array, slot: Array, ok: Array, cls: Array) -> Array:
         src = data.masks[idx[tile], slot].astype(jnp.float32)  # (Sm, Sm)
-        if data.soft:
+        # Per-class soft targets: data.soft is True (all classes soft — u8
+        # occupancy fractions), a tuple of soft class ids (those slots hold
+        # fractions, the rest 0/1 cells), or falsy (all binary).
+        if data.soft is True:
+            is_soft = None  # statically all-soft
+        elif data.soft:
+            is_soft = jnp.isin(cls, jnp.asarray(data.soft, jnp.int32))
+        else:
+            is_soft = False  # statically all-binary
+        if is_soft is None:
             # u8-quantized occupancy fractions: linear resampling of a
             # fraction field IS the (approximate) occupancy under the affine;
             # no threshold — fractional boundary cells are the signal.
             src = src * (1.0 / 255.0)
+        elif is_soft is not False:
+            src = jnp.where(is_soft, src * (1.0 / 255.0), src)
         # proto pixel p centers at model px q*p+(q-1)/2 on BOTH grids; the
         # -q/2 folds the two half-pixel conventions ((q-1)/2 + 0.5; verified
         # exact at identity, q=4 reproduces the original -2.0 / /4 / s/8).
@@ -307,11 +328,15 @@ def _augment_one(
             translation=jnp.stack([-sc * (c_y + 0.5), -sc * (c_x + 0.5)]),
             method="linear", antialias=False,
         )[..., 0]
-        if not data.soft:
+        if is_soft is False:
             m = (m > 0.5).astype(jnp.float32)
+        elif is_soft is not None:
+            # Mixed: threshold the binary slots (nearest-equivalent away from
+            # ties, like the all-binary path), keep soft slots fractional.
+            m = jnp.where(is_soft, m, (m > 0.5).astype(jnp.float32))
         return jnp.where(ok, jnp.clip(m, 0.0, 1.0), 0.0)
 
-    sel_masks = jax.vmap(one_mask)(sel_tile, sel_slot, sel_valid)
+    sel_masks = jax.vmap(one_mask)(sel_tile, sel_slot, sel_valid, sel_classes)
     # Output-array flip == flipping the sample positions: index xm then holds
     # the sample at model px s_px - q*xm - (q/2 + 0.5), identical to the
     # pre-flip map.

@@ -154,6 +154,32 @@ def load_image(path: str, imgsz: int) -> np.ndarray:
     return _load_resized_u8(path, imgsz).astype(np.float32) / 255.0
 
 
+def soft_class_ids(soft_masks, num_classes: int = 2,
+                   stitch_class_id: int = 0,
+                   fabric_class_id: int = 1) -> tuple[int, ...]:
+    """Normalize every accepted `soft_masks` spelling to a tuple of class ids
+    trained with soft (area-occupancy) targets.
+
+    Accepted: False/None/"" -> (); True/"all" -> every class; "stitch" /
+    "fabric" -> that class id; an iterable of ints -> as given. Per-class
+    targets are the round-5 edge-bias recovery: stitch soft (mask AP,
+    sub-cell width readout) while fabric stays binary so the envelope keeps
+    the reference-exact integer bottom-row semantics (measurement.py:170-185
+    semantics; see STATUS round-4 tradeoff table for why all-soft regressed
+    edge mm)."""
+    if soft_masks is None or soft_masks is False or soft_masks == "":
+        return ()
+    if soft_masks is True or soft_masks == "all":
+        return tuple(range(num_classes))
+    if soft_masks == "stitch":
+        return (stitch_class_id,)
+    if soft_masks == "fabric":
+        return (fabric_class_id,)
+    if isinstance(soft_masks, str):
+        return tuple(int(t) for t in soft_masks.split(",") if t.strip())
+    return tuple(int(c) for c in soft_masks)
+
+
 def scene_to_targets(
     image: np.ndarray, polygons: list[np.ndarray], classes: list[int],
     imgsz: int, max_gt: int, mask_stride: int = 4, soft_masks: bool = False,
@@ -161,7 +187,9 @@ def scene_to_targets(
     """(image [0,1] float (S,S,3), normalized polygons) -> padded Targets dict.
     Degenerate GT (clipped away by augmentation) is dropped. Masks rasterize
     on the model's proto grid (imgsz/mask_stride) — binary cells by default,
-    fractional area-occupancy cells with soft_masks (rasterize_polygon_soft)."""
+    fractional area-occupancy cells with soft_masks (rasterize_polygon_soft).
+    soft_masks accepts every soft_class_ids spelling; per-class values
+    rasterize only those classes soft."""
     hm = wm = imgsz // mask_stride
     boxes = np.zeros((max_gt, 4), np.float32)
     out_classes = np.zeros((max_gt,), np.int32)
@@ -172,6 +200,7 @@ def scene_to_targets(
     # (e.g. full-res mask rasterization in `tti eval`) must index by this,
     # not by position.
     src_index = np.full((max_gt,), -1, np.int32)
+    soft_ids = soft_class_ids(soft_masks)
     n_kept = 0
     for src_i, (poly, cls) in enumerate(zip(polygons, classes)):
         if n_kept >= max_gt:
@@ -188,7 +217,7 @@ def scene_to_targets(
         ]
         out_classes[n_kept] = cls
         masks[n_kept] = (rasterize_polygon_soft(p, (hm, wm), mask_stride)
-                         if soft_masks else rasterize_polygon(p, (hm, wm)))
+                         if cls in soft_ids else rasterize_polygon(p, (hm, wm)))
         valid[n_kept] = True
         src_index[n_kept] = src_i
         n_kept += 1
