@@ -108,3 +108,25 @@ def test_measurement_to_dict_batched_index():
     assert "error" not in d0
     assert d1["edge_distance_mm"] is None
     assert d1["error"]
+
+
+def test_regen_docs_parsers():
+    """tools/regen_docs.py: artifact parsers read the real round artifacts
+    (driver envelope BENCH files, parity table, measure JSON) and the
+    assembled table carries their numbers."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools import regen_docs
+
+    name, rows = regen_docs.newest_bench()
+    assert name.startswith("BENCH_r")
+    assert any("1080p" in r["metric"] for r in rows)
+
+    par = regen_docs.parity_row()
+    assert par is not None
+    f32, bf16 = (float(v) for v in par)
+    assert 0.999 <= f32 <= 1.0 and 0.99 <= bf16 <= 1.0
+
+    table = regen_docs.build_perf_table()
+    assert name in table and par[0] in table
+    assert "mm accuracy" in table

@@ -101,7 +101,10 @@ def main() -> None:
                               ).astype(np.uint8)),
         valid=jax.device_put(np.ones((n, g), bool)),
     )
-    augment = make_augment_fn(args.batch, args.max_gt)
+    # Mirror cmd_train: the augment image chain follows the compute dtype.
+    augment = make_augment_fn(
+        args.batch, args.max_gt,
+        image_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     key = jax.random.key(0)
 
     def one_iter(state, i):

@@ -846,7 +846,10 @@ def cmd_train(args) -> int:
                                     mask_stride=args.mask_stride,
                                     soft_masks=args.soft_masks)
         data = replicate(mesh, data) if mesh is not None else jax.device_put(data)
-        augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh)
+        # The augment image chain follows the training compute dtype (bf16
+        # halves its HBM bytes; sub-LSB pixel effect — see _image_dtype).
+        augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh,
+                                  image_dtype=dtype)
         key = jax.random.key(0)
         for seen in range(start + 1, total_steps + 1):
             x, targets = augment(data, jax.random.fold_in(key, seen))

@@ -41,21 +41,29 @@ Array = jax.Array
 PAD_GRAY = 114.0 / 255.0
 
 
-def _image_dtype():
+def _image_dtype(default=jnp.float32):
     """Compute dtype for the augment IMAGE chain (canvas resample + HSV).
 
     The chain is pure bandwidth: canvas f32 (1.2 GB/step at batch 64/640px)
     through two separable resample matmuls and the HSV elementwise pass,
     landing in a (B, S, S, 3) buffer the bf16 forward re-casts anyway.
-    TTI_AUGMENT_DTYPE=bf16 runs it in bf16 end to end — half the HBM bytes,
-    2x the MXU rate on the resample matmuls. Pixel effect is sub-1/255
-    rounding on values the u8 source quantized to 1/255 already; GT
-    (boxes/masks) stays f32 regardless. Read at trace time like the other
-    TTI_* gates; default f32 (bit-identical to the r3 recipe)."""
+    bf16 runs it end to end in bf16 — half the HBM bytes, 2x the MXU rate on
+    the resample matmuls (measured -16 ms/iter at batch 64/640px, round 5).
+    Pixel effect is sub-1/255 rounding on values the u8 source quantized to
+    1/255 already; GT (boxes/masks) stays f32 regardless.
+
+    `default` comes from the caller (make_augment_fn's image_dtype — the
+    trainer passes its compute dtype, so bf16 training gets the bf16 chain
+    automatically); TTI_AUGMENT_DTYPE=bf16|f32 forces either way. Read at
+    trace time like the other TTI_* gates."""
     import os
 
-    return (jnp.bfloat16 if os.environ.get("TTI_AUGMENT_DTYPE") == "bf16"
-            else jnp.float32)
+    v = os.environ.get("TTI_AUGMENT_DTYPE")
+    if v == "bf16":
+        return jnp.bfloat16
+    if v in ("f32", "fp32", "float32"):
+        return jnp.float32
+    return default
 
 
 @flax.struct.dataclass
@@ -181,6 +189,7 @@ def _augment_one(
     mosaic_p: float,
     flip_p: float,
     hsv_gains: tuple[float, float, float],
+    image_dtype=jnp.float32,
 ) -> tuple[Array, dict]:
     """One augmented (image f32 (S,S,3), padded-GT dict) drawn from the
     device-resident dataset."""
@@ -236,7 +245,7 @@ def _augment_one(
     # gathered tap against the border color.
     t_x = (0.5 + tx) * s_px - sc * (x0 + 0.5 * s_px)
     t_y = (0.5 + ty) * s_px - sc * (y0 + 0.5 * s_px)
-    dt = _image_dtype()
+    dt = image_dtype
     img = jnp.asarray(PAD_GRAY, dt) + jax.image.scale_and_translate(
         canvas.astype(dt) * jnp.asarray(1.0 / 255.0, dt) - jnp.asarray(PAD_GRAY, dt),
         (s_px, s_px, 3),
@@ -359,6 +368,7 @@ def make_augment_fn(
     flip_p: float = 0.5,
     hsv_gains: tuple[float, float, float] = (0.015, 0.7, 0.4),
     mesh=None,
+    image_dtype=None,
 ):
     """Jitted (data, key) -> (images (B,S,S,3) f32, Targets): one fresh
     augmented batch per call, entirely on device. The dataset is a jit
@@ -366,13 +376,19 @@ def make_augment_fn(
     program as constants, which both bloats the executable and breaches
     remote-compile request limits on tethered deployments. With a mesh,
     outputs are batch-sharded over 'data' so the handoff to the sharded train
-    step is collective-free."""
+    step is collective-free.
+
+    image_dtype: the IMAGE chain's compute/storage dtype (None -> f32;
+    trainers pass their compute dtype so bf16 training runs the bf16 chain).
+    TTI_AUGMENT_DTYPE overrides (see _image_dtype)."""
+    dt = _image_dtype(default=image_dtype or jnp.float32)
 
     def batch_fn(data: DeviceDataset, key: Array) -> tuple[Array, Targets]:
         keys = jax.random.split(key, batch_size)
         imgs, t = jax.vmap(
             lambda k: _augment_one(k, data, max_gt, scale, translate,
-                                   mosaic_p, flip_p, hsv_gains)
+                                   mosaic_p, flip_p, hsv_gains,
+                                   image_dtype=dt)
         )(keys)
         return imgs, Targets(
             boxes=t["boxes"], classes=t["classes"],
