@@ -1117,6 +1117,17 @@ def main(argv: list[str] | None = None) -> int:
     from tti.parallel.dcn import init_distributed
 
     init_distributed()
+    # Persistent XLA compilation cache: train/eval recompile the same
+    # programs across invocations (a cold 640px train-step compile is
+    # minutes through a relayed transport); bench.py sets its own dir.
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("TTI_JAX_CACHE_DIR",
+                                         "/tmp/tti_jax_cache"))
+    except Exception:  # very old jax without the option — run uncached
+        pass
     return args.func(args)
 
 

@@ -631,6 +631,28 @@ class DualPipeline:
                 self.secondary.postprocess_chain(vars_b, xb),
             )
 
+        # Mesh-sharded dual step (round-5, VERDICT r4 item 7): both models'
+        # full chains run batch-sharded over the primary's mesh — same
+        # frame_sharding as the single-model step (data + optional space
+        # axes), state replicated. Equivalence vs the unsharded dual is
+        # asserted by the driver dry run (__graft_entry__.dryrun_multichip).
+        if self.primary.mesh is not None:
+            if self.secondary.mesh is not self.primary.mesh:
+                raise ValueError(
+                    "dual pipelines must share one mesh (the preprocessed "
+                    "batch is a single sharded buffer)")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tti.parallel.mesh import frame_sharding
+
+            repl = NamedSharding(self.primary.mesh, P())
+            jitted = jax.jit(
+                step,
+                in_shardings=(repl, repl,
+                              frame_sharding(self.primary.mesh), repl),
+            )
+            return lambda va, vb, f: jitted(va, vb, f, warp_w)
+
         # Same auto-input-layout treatment as InspectionPipeline._build_step
         # (the dual program reads the identical 796 MB u8 batch).
         if (jax.default_backend() != "tpu"
