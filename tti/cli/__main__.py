@@ -801,7 +801,12 @@ def cmd_train(args) -> int:
     model = create_model(args.variant, nc=args.num_classes,
                          mask_stride=args.mask_stride,
                          proto_head=args.proto_head, dtype=dtype)
+    # Stage logs bracket every potentially-minutes operation (remote-compile
+    # transports): a stalled run's log then names the stage, not a mystery.
+    log.info("initializing %s at %dpx (%s) on %s ...", args.variant,
+             args.imgsz, args.dtype, jax.devices()[0].platform)
     variables = init_variables(model, image_size=args.imgsz)
+    log.info("model initialized")
     steps_per_epoch = max(len(samples) // args.batch_size, 1)
     total_steps = steps_per_epoch * args.epochs
     state, tx = create_train_state(model, variables, learning_rate=args.lr,
@@ -842,10 +847,15 @@ def cmd_train(args) -> int:
         # deployment hosts, where the cv2 recipe costs seconds per sample.
         from tti.train.augment import build_device_dataset, make_augment_fn
 
+        log.info("rasterizing %d samples to the device dataset ...", len(samples))
         data = build_device_dataset(samples, args.imgsz, args.max_gt,
                                     mask_stride=args.mask_stride,
                                     soft_masks=args.soft_masks)
         data = replicate(mesh, data) if mesh is not None else jax.device_put(data)
+        jax.block_until_ready(data.images)
+        log.info("device dataset resident (%.0f MB); compiling the train "
+                 "step (first step can take minutes on remote-compile "
+                 "transports) ...", data.images.nbytes / 1e6)
         # The augment image chain follows the training compute dtype (bf16
         # halves its HBM bytes; sub-LSB pixel effect — see _image_dtype).
         augment = make_augment_fn(args.batch_size, args.max_gt, mesh=mesh,
