@@ -182,13 +182,16 @@ def test_maskstats_pallas2_vmap_routes_to_batched(rng):
 
 
 def test_maskstats_bf16_logits_gate(rng, monkeypatch):
-    """TTI_MASKSTATS_LOGITS=bf16 halves the dense logits materialization; the
-    stats must agree with f32 everywhere the logits aren't within bf16
+    """TTI_MASKSTATS_LOGITS halves the dense logits materialization in bf16;
+    the stats must agree with f32 everywhere the logits aren't within bf16
     rounding of the 0-boundary (random weights put measure-zero mass there,
-    so moments agree to the mask-boundary tolerance and col_any exactly)."""
+    so moments agree to the mask-boundary tolerance and col_any exactly).
+    Defaults are per-path (binary f32, soft bf16 — the measured winners,
+    STATUS.md round-5 item 3), so each side of the A/B pins the env."""
     from tti.kernels.maskstats import instance_mask_stats_soft
 
     protos, coefs, boxes, valid = _random_problem(rng)
+    monkeypatch.setenv("TTI_MASKSTATS_LOGITS", "f32")
     ref = instance_mask_stats_xla(protos, coefs, boxes, valid)
     refs = instance_mask_stats_soft(protos, coefs, boxes, valid)
     monkeypatch.setenv("TTI_MASKSTATS_LOGITS", "bf16")
@@ -214,9 +217,13 @@ SOFT_KEYS = ("m00", "m10", "m01", "col_any", "bottom",
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_maskstats_soft_pallas2_matches_xla(seed):
+def test_maskstats_soft_pallas2_matches_xla(seed, monkeypatch):
     """Soft v2 kernel (fused occupancy stats) == dense soft XLA reference,
-    including the sub-cell bottom crossing and probability moments."""
+    including the sub-cell bottom crossing and probability moments.
+
+    Pins TTI_MASKSTATS_LOGITS=f32: this is an exactness test of the math;
+    the soft path's bf16 production default is covered by the gate test."""
+    monkeypatch.setenv("TTI_MASKSTATS_LOGITS", "f32")
     from tti.kernels.maskstats import (
         instance_mask_stats_soft_pallas2, instance_mask_stats_soft_xla)
 
@@ -246,9 +253,11 @@ def test_maskstats_soft_pallas2_invalid_zeroed(rng):
     assert np.all(np.asarray(out["bottom_sub"]) == -1.0)
 
 
-def test_maskstats_soft_pallas2_cross_tile_bottom(rng):
+def test_maskstats_soft_pallas2_cross_tile_bottom(rng, monkeypatch):
     """A bottom row landing exactly on a tile's LAST row must read p_below
-    from the NEXT tile's first row (the cross-tile carry)."""
+    from the NEXT tile's first row (the cross-tile carry). f32-pinned
+    exactness test (see test_maskstats_soft_pallas2_matches_xla)."""
+    monkeypatch.setenv("TTI_MASKSTATS_LOGITS", "f32")
     from tti.kernels.maskstats import (
         SOFT_ROW_TILE, instance_mask_stats_soft_pallas2,
         instance_mask_stats_soft_xla)
@@ -276,9 +285,10 @@ def test_maskstats_soft_pallas2_cross_tile_bottom(rng):
 
 
 @pytest.mark.parametrize("seed", [0])
-def test_maskstats_soft_pallas2_batched_and_vmap(seed):
+def test_maskstats_soft_pallas2_batched_and_vmap(seed, monkeypatch):
     """Batched soft v2 == per-frame soft XLA; the custom_vmap wrapper routes
-    an enclosing vmap to the batched grid."""
+    an enclosing vmap to the batched grid. f32-pinned exactness test."""
+    monkeypatch.setenv("TTI_MASKSTATS_LOGITS", "f32")
     import jax
 
     from tti.kernels.maskstats import (

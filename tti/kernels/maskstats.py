@@ -48,20 +48,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _logits_dtype():
+def _logits_dtype(soft: bool = False):
     """Materialization dtype for the dense (D, Hm, Wm) logits tensor.
 
     The XLA stats paths are HBM-bound on writing + re-reading that tensor
     (5.8 GB/step f32 at the stride-2 deploy geometry, batch 128); bf16
-    halves it. Gated OFF by default: the threshold test logits > 0 can flip
-    for cells within bf16 rounding of the boundary and the sub-cell frac
-    resolves at ~1/256 cell (~1e-3 mm here) — immaterial in product terms
-    but not bit-identical to the f32 oracle. Env: TTI_MASKSTATS_LOGITS=bf16
-    (read at trace time, like the other TTI_* perf gates)."""
+    halves it. Defaults per path (TTI_MASKSTATS_LOGITS=f32|bf16 overrides,
+    read at trace time like the other TTI_* perf gates):
+
+    - BINARY path: f32 — bf16 measured perf-NEUTRAL there (1621 vs 1617
+      frames/s at the deploy geometry, STATUS.md round-5) and the binary
+      threshold logits > 0 is part of the bit-parity contract vs the torch
+      oracle, so there is nothing to buy for the exactness given up.
+    - SOFT path: bf16 — the soft reductions make more passes over a tensor
+      4x the binary fields, measured +8.5% e2e at the deploy geometry
+      (1265 vs 1166 frames/s, batch 128) with mm impact below 1e-4 mm on
+      the 256-scene report (bias delta 2e-5, every order statistic
+      unchanged — STATUS.md round-5 item 3). Sub-cell frac keeps ~1/256
+      cell (~1e-3 mm here) resolution in bf16."""
     import os
 
-    return (jnp.bfloat16 if os.environ.get("TTI_MASKSTATS_LOGITS") == "bf16"
-            else jnp.float32)
+    forced = os.environ.get("TTI_MASKSTATS_LOGITS")
+    if forced == "bf16":
+        return jnp.bfloat16
+    if forced == "f32":
+        return jnp.float32
+    return jnp.bfloat16 if soft else jnp.float32
 
 
 def _stats_kernel(protos_ref, coefs_ref, boxes_ref, valid_ref,
@@ -704,10 +716,12 @@ def instance_mask_stats_soft_xla(
     instance_mask_stats_soft for the measured backend dispatch.
     """
     hm, wm, _ = protos.shape
-    # Same bf16-materialization gate as the binary path (TTI_MASKSTATS_LOGITS):
-    # the soft reductions make MORE passes over the tensor, so the bytes
-    # saving compounds; sub-cell frac keeps ~1/256-cell resolution in bf16.
-    dt = _logits_dtype()
+    # Same TTI_MASKSTATS_LOGITS gate as the binary path, but bf16 by DEFAULT
+    # here: the soft reductions make MORE passes over the tensor, so the
+    # bytes saving compounds (+8.5% e2e measured at the deploy geometry);
+    # sub-cell frac keeps ~1/256-cell resolution in bf16. TTI_MASKSTATS_
+    # LOGITS=f32 restores the bit-exact oracle materialization.
+    dt = _logits_dtype(soft=True)
     logits = jnp.einsum(
         "dc,hwc->dhw", coefs.astype(dt), protos.astype(dt),
         preferred_element_type=dt,
