@@ -387,3 +387,48 @@ def test_measure_frame_skip_cluster(cam):
     stitches2, envelope2, env_y = _scene(spec, n_bottom=4, n_top=0)
     meas2 = measure_frame(stitches2, envelope2, jnp.asarray(True), cam_params, spec, cfg)
     assert int(meas2.n_dist) == 4
+
+
+def test_measure_frame_readout_calibration(cam):
+    """cal_edge_mm / cal_width_mm (sidecar readout calibration, the
+    reference's config.py:156-157 output-offset mechanism derived per
+    checkpoint) shift the finite outputs by exactly the constant; NaN
+    frames stay NaN and the n_* gates are unaffected."""
+    cam_params, _ = cam
+    spec = letterbox_spec(FRAME_HW[0], FRAME_HW[1], INPUT)
+    stitches, envelope, _ = _scene(spec)
+
+    base = measure_frame(stitches, envelope, jnp.asarray(True), cam_params,
+                         spec, MeasureConfig())
+    cal = measure_frame(stitches, envelope, jnp.asarray(True), cam_params,
+                        spec, MeasureConfig(cal_edge_mm=0.128,
+                                            cal_width_mm=-0.05))
+    assert float(cal.raw_edge_mm) == pytest.approx(
+        float(base.raw_edge_mm) + 0.128, abs=1e-5)
+    assert float(cal.raw_width_mm) == pytest.approx(
+        float(base.raw_width_mm) - 0.05, abs=1e-5)
+    assert int(cal.n_dist) == int(base.n_dist)
+
+    # A gated-out frame (no fabric) stays NaN under calibration.
+    nof = measure_frame(stitches, envelope, jnp.asarray(False), cam_params,
+                        spec, MeasureConfig(cal_edge_mm=0.128))
+    assert np.isnan(float(nof.raw_edge_mm))
+
+
+def test_measure_config_calibration_from_sidecar(monkeypatch):
+    """with_subcell_from adopts sidecar cal constants; explicit non-zero
+    config wins; TTI_READOUT_CAL=0 disables both."""
+    meta = {"soft_masks": True, "cal_edge_mm": 0.13, "cal_width_mm": 0.17}
+    monkeypatch.delenv("TTI_READOUT_CAL", raising=False)
+    got = MeasureConfig().with_subcell_from(meta)
+    assert got.cal_edge_mm == pytest.approx(0.13)
+    assert got.cal_width_mm == pytest.approx(0.17)
+    # Explicit config beats the sidecar.
+    got = MeasureConfig(cal_edge_mm=0.5).with_subcell_from(meta)
+    assert got.cal_edge_mm == pytest.approx(0.5)
+    assert got.cal_width_mm == pytest.approx(0.17)
+    # Kill switch zeroes everything.
+    monkeypatch.setenv("TTI_READOUT_CAL", "0")
+    got = MeasureConfig(cal_edge_mm=0.5).with_subcell_from(meta)
+    assert got.cal_edge_mm == 0.0
+    assert got.cal_width_mm == 0.0

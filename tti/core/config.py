@@ -237,6 +237,18 @@ class MeasureConfig:
     # reads the sidecar's per-class keys (soft_fabric/soft_stitch) when
     # present. Env TTI_SUBCELL_ENVELOPE=0/1 forces.
     subcell_envelope: bool | None = None
+    # Per-checkpoint readout calibration (round 5): constant mm offsets ADDED
+    # to the raw edge/width outputs, measured on an independent synthetic
+    # calibration set by tools/calibrate_offsets.py and carried in the
+    # checkpoint sidecar (cal_edge_mm / cal_width_mm). This is the
+    # reference's own mechanism — config.py:156-157 ships empirically
+    # calibrated SEAM_LENGTH_OFFSET / STITCH_WIDTH_OFFSET constants applied
+    # to the final measurements — here derived per-checkpoint because the
+    # systematic part of the error (boundary-cell calibration of the learned
+    # occupancy field) is a property of the NET, not the optics.
+    # Env TTI_READOUT_CAL=0 disables (uncalibrated raw values).
+    cal_edge_mm: float = 0.0
+    cal_width_mm: float = 0.0
 
     @property
     def envelope_subcell(self) -> bool:
@@ -273,10 +285,22 @@ class MeasureConfig:
         if env is None and ("soft_fabric" in ckpt_meta
                             or "soft_stitch" in ckpt_meta):
             env = bool(ckpt_meta.get("soft_fabric", legacy))
+        # Sidecar readout calibration (tools/calibrate_offsets.py); explicit
+        # non-zero config wins, TTI_READOUT_CAL=0 disables.
+        cal_e, cal_w = self.cal_edge_mm, self.cal_width_mm
+        if os.environ.get("TTI_READOUT_CAL", "1").strip().lower() not in (
+                "0", "false", "no", "off"):
+            if cal_e == 0.0:
+                cal_e = float(ckpt_meta.get("cal_edge_mm", 0.0))
+            if cal_w == 0.0:
+                cal_w = float(ckpt_meta.get("cal_width_mm", 0.0))
+        else:
+            cal_e = cal_w = 0.0
         # env stays None for single-flag sidecars: envelope follows
         # subcell_edge exactly as before per-class sidecars existed.
         return dataclasses.replace(self, subcell_edge=sub,
-                                   subcell_envelope=env)
+                                   subcell_envelope=env,
+                                   cal_edge_mm=cal_e, cal_width_mm=cal_w)
 
 
 @dataclass(frozen=True)

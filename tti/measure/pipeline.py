@@ -448,6 +448,14 @@ def measure_frame(
     # No fabric / no stitches reproduce the reference's error paths
     # (measurement.py:281-287,332-337): no metrics at all.
     usable = fabric_any & any_stitch
+    # Per-checkpoint readout calibration (MeasureConfig.cal_*_mm, from the
+    # sidecar via with_subcell_from): constant mm offsets correcting the
+    # net's systematic boundary-calibration bias — the reference's own
+    # output-offset mechanism (config.py:156-157), derived per checkpoint
+    # by tools/calibrate_offsets.py on an independent synthetic set.
+    # NaN frames stay NaN (nan + c == nan).
+    avg_dist = avg_dist + jnp.float32(cfg.cal_edge_mm)
+    avg_width = avg_width + jnp.float32(cfg.cal_width_mm)
     raw_edge = jnp.where(usable & (n_dist >= cfg.min_stitches), avg_dist, nan)
     raw_width = jnp.where(usable & (n_width >= cfg.min_stitches), avg_width, nan)
 
