@@ -432,3 +432,16 @@ def test_measure_config_calibration_from_sidecar(monkeypatch):
     got = MeasureConfig(cal_edge_mm=0.5).with_subcell_from(meta)
     assert got.cal_edge_mm == 0.0
     assert got.cal_width_mm == 0.0
+
+
+def test_measure_config_sidecar_envelope_pin(monkeypatch):
+    """A sidecar `subcell_envelope` pin beats the per-class soft keys (the
+    deploy checkpoint carries its measured-best envelope readout); explicit
+    config / env force still wins over the pin."""
+    monkeypatch.delenv("TTI_SUBCELL_ENVELOPE", raising=False)
+    meta = {"soft_stitch": True, "soft_fabric": False, "subcell_envelope": True}
+    got = MeasureConfig().with_subcell_from(meta)
+    assert got.subcell_edge is True
+    assert got.envelope_subcell is True  # pin overrides soft_fabric=False
+    got = MeasureConfig(subcell_envelope=False).with_subcell_from(meta)
+    assert got.envelope_subcell is False  # explicit config wins

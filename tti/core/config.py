@@ -282,6 +282,12 @@ class MeasureConfig:
         legacy = bool(ckpt_meta.get("soft_masks", False))
         if sub is None:
             sub = bool(ckpt_meta.get("soft_stitch", legacy))
+        if env is None and "subcell_envelope" in ckpt_meta:
+            # Explicit sidecar pin: a deploy checkpoint can carry the
+            # measured-best envelope readout (e.g. sub-cell logit crossing
+            # on a binary fabric head — bias +0.009 vs -0.086 integer on
+            # the r5 per-class net, STATUS.md round-5 item 2).
+            env = bool(ckpt_meta["subcell_envelope"])
         if env is None and ("soft_fabric" in ckpt_meta
                             or "soft_stitch" in ckpt_meta):
             env = bool(ckpt_meta.get("soft_fabric", legacy))
